@@ -1,0 +1,77 @@
+"""Engine configuration: SWING's w/k/tau parameters and engine knobs.
+
+Parameter semantics pinned per SURVEY.md §1.3 (binding):
+
+  w      window_width  — # consecutive time buckets per (response) window
+                         [ref: Swing/Swing.py::__init__(window_width) ~L?]
+  s      step_size     — window slide in buckets (reference default 1)
+                         [ref: Swing/Swing.py::__init__(step_size) ~L?]
+  k_min..k_max         — admissible regulator→target lag range, in buckets
+                         [ref: Swing/Swing.py::__init__(min_lag, max_lag) ~L?]
+  tau (delta_seconds)  — one bucket duration; the lag unit (DREAM4: 50 min;
+                         engine default 60 s per FIXTURES.md §A)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class SwingParams:
+    """SWING windowed-inference parameters + engine execution knobs."""
+
+    # --- SWING w / s / k / tau ------------------------------------------
+    window_width: int = 5          # w: buckets per response window
+    step_size: int = 1             # s: window slide in buckets
+    min_lag: int = 1               # k_min
+    max_lag: int = 3               # k_max
+    delta_seconds: int = 60        # tau: bucket duration (event-time)
+
+    # --- model ----------------------------------------------------------
+    method: str = "lasso"          # 'lasso' | 'rf'  (reference window_type)
+    alpha: float | None = None     # Lasso alpha; None => cv_select_alpha
+    n_alphas: int = 10             # CV grid size for alpha search
+    n_trees: int = 50              # RF ensemble size
+    max_depth: int = 4             # RF tree depth cap
+    n_permutations: int = 0        # permutation-test draws (0 = off)
+    n_bootstraps: int = 0          # Lasso bootstrap draws (0 = off)
+
+    # --- semantics pins (SURVEY.md §2.2 P5, §2.4 A4) --------------------
+    self_edges: bool = False       # drop parent==child edges at every lag
+    lag_weights: tuple[float, ...] = ()  # per-lag weight; () => all 1.0
+
+    # --- streaming ------------------------------------------------------
+    watermark: str = "5 minutes"   # allowed event-time lateness
+    session_gap: str = "5 minutes"  # session_window gap (T4)
+    n_salts: int = 8               # hot-host salting fan-out (T11)
+
+    # --- feature space --------------------------------------------------
+    feature_names: tuple[str, ...] = field(
+        default=(
+            "doc_count", "mean_len", "frac_en", "frac_de", "frac_fr",
+            "frac_es", "frac_zz", "mean_tokens", "digit_ratio", "url_diversity",
+        )
+    )
+
+    @property
+    def n_features(self) -> int:
+        return len(self.feature_names)
+
+    @property
+    def lags(self) -> tuple[int, ...]:
+        return tuple(range(self.min_lag, self.max_lag + 1))
+
+    def lag_weight(self, k: int) -> float:
+        """Weight applied to ranks at lag k in A4 rank aggregation.
+
+        Reference collapse across lags is uncertain (SURVEY.md §2.4 A4);
+        pinned: weight 1.0 for every lag unless configured otherwise.
+        """
+        if not self.lag_weights:
+            return 1.0
+        i = k - self.min_lag
+        return self.lag_weights[i] if 0 <= i < len(self.lag_weights) else 1.0
+
+
+DEFAULT_PARAMS = SwingParams()

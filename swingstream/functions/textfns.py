@@ -1,0 +1,91 @@
+"""Text-analysis column expressions: host/lang derivation, token counting,
+quality scoring, language ID — all built-in-function compositions (no
+Python in the plan), each mirrored by ANSI SQL in the driver oracles.
+
+SURVEY.md §2.2 P7, §2.7 F1 plus the training-data-pipeline text ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deliberately small + pinned so the DuckDB oracle can carry
+# the identical lists inline.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "over"],
+    "de": ["der", "die", "das", "und", "ist", "den", "von", "mit", "ueber"],
+    "fr": ["le", "la", "les", "et", "est", "des", "dans", "par", "sur"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "sobre", "por"],
+}
+
+
+def host_of(url: Column) -> Column:
+    """Hostname from a url — regexp, not parse_url, so DuckDB SQL matches."""
+    return F.regexp_extract(url, r"^https?://([^/]+)", 1)
+
+
+def tokens_of(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text => empty array."""
+    return F.when(
+        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_of(text))
+
+
+def char_class_count(text: Column, char_class: str) -> Column:
+    """# chars matching a regex class, via length-difference (JVM-side)."""
+    return F.length(text) - F.length(F.regexp_replace(text, char_class, ""))
+
+
+def digit_ratio(text: Column) -> Column:
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        char_class_count(text, "[0-9]") / F.length(text)
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        char_class_count(text, r"[!-/:-@\[-`{-~]") / F.length(text)
+    )
+
+
+def stopword_count(text: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    toks = tokens_of(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    n = token_count(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(stopword_count(text, lang) / n)
+
+
+def quality_score(text: Column) -> Column:
+    """Pinned quality heuristic: length, punctuation, digit, stopword mix.
+
+    score = 0.4*min(len,500)/500 + 0.3*stop_en - 0.2*punct - 0.1*digit
+    (clamped to [0,1]); formula duplicated verbatim in the SQL oracle.
+    """
+    raw = (
+        0.4 * F.least(F.length(text), F.lit(500)) / 500.0
+        + 0.3 * stopword_ratio(text, "en")
+        - 0.2 * punct_ratio(text)
+        - 0.1 * digit_ratio(text)
+    )
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw))
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language ID; ties broken by en>de>fr>es; no vote => zz."""
+    scores = {lg: stopword_count(text, lg) for lg in STOPWORDS}
+    best = F.greatest(*scores.values())
+    out = F.lit("zz")
+    # reversed so earlier langs win ties (en checked last => wins equals)
+    for lg in reversed(list(STOPWORDS)):
+        out = F.when((best > 0) & (scores[lg] == best), F.lit(lg)).otherwise(out)
+    return out

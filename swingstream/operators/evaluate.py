@@ -1,0 +1,65 @@
+"""AUROC / AUPR evaluation against a gold-standard edge list.
+
+Reference: [ref: Swing/util/Evaluator.py::calc_roc, calc_pr ~L?]
+(SURVEY.md §2.4 A7, §2.3 J2) — walk the ranked edge list, accumulate
+TP/FP, trapezoid the ROC and PR curves.
+
+Spark form: broadcast-join the (tiny) gold list onto the ranked edges,
+then cumulative window sums — the list is G² rows so the single-ordered
+window is deliberate, not a scale hazard (the 10^12-row side never
+reaches this operator; only aggregated edges do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def label_edges(ranked: DataFrame, gold: DataFrame) -> DataFrame:
+    """J2: left broadcast join; unlisted pairs are negatives (label 0)."""
+    g = F.broadcast(gold.select("parent", "child", F.col("label").cast("int").alias("label")))
+    return ranked.join(g, ["parent", "child"], "left").withColumn(
+        "label", F.coalesce(F.col("label"), F.lit(0))
+    )
+
+
+def roc_pr_points(labeled: DataFrame) -> DataFrame:
+    """Cumulative TP/FP/TPR/FPR/precision/recall down the ranked list (W3)."""
+    order = Window.orderBy(F.asc("mean_rank"), F.asc("parent"), F.asc("child"))
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals = labeled.agg(
+        F.sum("label").alias("P"), F.sum(1 - F.col("label")).alias("N")
+    ).collect()[0]
+    P, N = max(totals["P"] or 0, 1), max(totals["N"] or 0, 1)
+    return (
+        labeled.withColumn("tp", F.sum("label").over(cum))
+        .withColumn("fp", F.sum(1 - F.col("label")).over(cum))
+        .withColumn("tpr", F.col("tp") / P)
+        .withColumn("fpr", F.col("fp") / N)
+        .withColumn("precision", F.col("tp") / (F.col("tp") + F.col("fp")))
+        .withColumn("recall", F.col("tp") / P)
+    )
+
+
+def _trapezoid(points: DataFrame, x: str, y: str) -> float:
+    order = Window.orderBy(F.asc("mean_rank"), F.asc("parent"), F.asc("child"))
+    stepped = points.select(
+        F.col(x).alias("x"),
+        F.col(y).alias("y"),
+        F.lag(x, 1, 0.0).over(order).alias("x0"),
+        F.lag(y, 1, 0.0).over(order).alias("y0"),
+    )
+    area = stepped.agg(
+        F.sum((F.col("x") - F.col("x0")) * (F.col("y") + F.col("y0")) / 2.0).alias("a")
+    ).collect()[0]["a"]
+    return float(area or 0.0)
+
+
+def auroc(ranked: DataFrame, gold: DataFrame) -> float:
+    return _trapezoid(roc_pr_points(label_edges(ranked, gold)), "fpr", "tpr")
+
+
+def aupr(ranked: DataFrame, gold: DataFrame) -> float:
+    pts = roc_pr_points(label_edges(ranked, gold))
+    return _trapezoid(pts, "recall", "precision")

@@ -1,0 +1,144 @@
+"""Per-host per-bucket document-feature aggregation (SURVEY.md §2.4 A9).
+
+pages(url, warc_ts, html, text, lang)
+  -> dedup exact redeliveries                       (J5/T8 batch form)
+  -> derive host (P7); html is PRUNED here — binary never flows further
+     (§4.3 pin #4: 10^12-scale byte budget)
+  -> groupBy(host, Δ-bucket).agg(G built-in aggregates)  [one shuffle]
+  -> densify missing buckets to zero-vectors (regular sampling — SWING
+     assumes evenly-sampled series)
+  -> pack ArrayType(double) feature vector (§4.3 pin #3)
+
+The salted variant splits the aggregation into (host, bucket, salt)
+partials + a combine stage — the explicit hot-domain skew handling
+BASELINE.json:14 requires (AQE does not rebalance streaming state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from swingstream.config import SwingParams
+from swingstream.functions.textfns import digit_ratio, host_of, token_count
+
+# Partial (algebraic) aggregates from which every feature is derivable.
+# Keeping them sum/count-shaped is what makes the salted two-stage
+# aggregation exact: stage 2 just sums the partials.  (Function, not a
+# module constant: Column construction needs an active SparkContext.)
+def _partials() -> dict[str, Column]:
+    return {
+        "n_docs": F.count(F.lit(1)),
+        "sum_len": F.sum(F.length("text")),
+        "n_en": F.sum((F.col("lang") == "en").cast("long")),
+        "n_de": F.sum((F.col("lang") == "de").cast("long")),
+        "n_fr": F.sum((F.col("lang") == "fr").cast("long")),
+        "n_es": F.sum((F.col("lang") == "es").cast("long")),
+        "n_zz": F.sum((F.col("lang") == "zz").cast("long")),
+        "sum_tokens": F.sum(token_count(F.col("text"))),
+        "sum_digit_ratio": F.sum(digit_ratio(F.col("text"))),
+        # count_distinct(url) stays exact under url-hash salting: each
+        # url lands in exactly one salt partition, partial counts sum.
+        "n_urls": F.count_distinct("url"),
+    }
+
+
+def deduplicate_pages(pages: DataFrame) -> DataFrame:
+    """Drop exact redeliveries.  Pin: identity = (url, warc_ts).
+
+    Re-crawls of the same url at a later warc_ts are distinct versions
+    (J5 as-of semantics pick among them); identical (url, warc_ts) rows
+    are transport duplicates.  Streaming twin: dropDuplicatesWithinWatermark.
+    """
+    return pages.dropDuplicates(["url", "warc_ts"])
+
+
+def pages_to_bucketed(pages: DataFrame, params: SwingParams) -> DataFrame:
+    """Project + derive (host, bucket_idx); `html` pruned from the plan."""
+    d = params.delta_seconds
+    return pages.select(
+        host_of(F.col("url")).alias("host"),
+        (F.floor(F.unix_timestamp("warc_ts") / d)).cast("long").alias("bucket_idx"),
+        "url",
+        "text",
+        "lang",
+    )
+
+
+def _finalize(partials: DataFrame, params: SwingParams) -> DataFrame:
+    """Partials -> G-wide feature array + bucket timestamp."""
+    d = params.delta_seconds
+    n = F.col("n_docs").cast("double")
+    feats = [
+        n,
+        F.col("sum_len") / n,
+        F.col("n_en") / n,
+        F.col("n_de") / n,
+        F.col("n_fr") / n,
+        F.col("n_es") / n,
+        F.col("n_zz") / n,
+        F.col("sum_tokens") / n,
+        F.col("sum_digit_ratio") / n,
+        F.col("n_urls") / n,
+    ]
+    return partials.select(
+        "host",
+        "bucket_idx",
+        F.timestamp_seconds(F.col("bucket_idx") * d).alias("bucket_ts"),
+        F.array(*[f.cast("double") for f in feats]).alias("features"),
+    )
+
+
+def host_bucket_features(
+    pages: DataFrame, params: SwingParams, *, salted: bool = False, dedup: bool = True
+) -> DataFrame:
+    """(host, bucket_idx, bucket_ts, features: array<double>[G])."""
+    if dedup:
+        pages = deduplicate_pages(pages)
+    rows = pages_to_bucketed(pages, params)
+    if not salted:
+        partials = rows.groupBy("host", "bucket_idx").agg(
+            *[a.alias(k) for k, a in _partials().items()]
+        )
+    else:
+        # T11: hot-host salting — stage 1 fans a hot (host, bucket) key
+        # over n_salts reducers keyed by url-hash; stage 2 combines the
+        # algebraic partials.  url-hash salting keeps count_distinct(url)
+        # exact (a url occurs in exactly one salt bucket).
+        salted_rows = rows.withColumn(
+            "salt", F.pmod(F.xxhash64("url"), F.lit(params.n_salts))
+        )
+        stage1 = salted_rows.groupBy("host", "bucket_idx", "salt").agg(
+            *[a.alias(k) for k, a in _partials().items()]
+        )
+        partials = stage1.groupBy("host", "bucket_idx").agg(
+            *[F.sum(k).alias(k) for k in _partials()]
+        )
+    return _finalize(partials, params).withColumnRenamed("host", "group_key")
+
+
+def densify_buckets(features: DataFrame, params: SwingParams) -> DataFrame:
+    """Fill missing (group_key, bucket) slots with zero-vectors.
+
+    SWING assumes an evenly-sampled series; web hosts can go quiet for a
+    bucket.  Generates each group's full bucket range with
+    ``sequence``+``explode`` (no driver-side loop) and left-joins.
+    """
+    g = params.n_features
+    span = features.groupBy("group_key").agg(
+        F.min("bucket_idx").alias("lo"), F.max("bucket_idx").alias("hi")
+    )
+    slots = span.select(
+        "group_key", F.explode(F.sequence("lo", "hi")).alias("bucket_idx")
+    )
+    zero = F.array(*[F.lit(0.0)] * g)
+    d = params.delta_seconds
+    return (
+        slots.join(features, ["group_key", "bucket_idx"], "left")
+        .select(
+            "group_key",
+            "bucket_idx",
+            F.timestamp_seconds(F.col("bucket_idx") * d).alias("bucket_ts"),
+            F.coalesce("features", zero).alias("features"),
+        )
+    )

@@ -1,0 +1,160 @@
+"""Per-(group, window) regression scoring — the engine's one grouped-map UDF.
+
+Reference semantics [ref: Swing/Swing.py::fit_windows ~L?] →
+[ref: Swing/RFRWindow.py::get_coeffs ~L?] / [ref:
+Swing/LassoWindow.py::fit_window ~L?]: for each window, for each target
+feature j, regress y = x_j over the window's timepoints (samples pooled
+across replicates) on X = all features at lags k in [k_min, k_max];
+importance of regulator (i, k) on j = |lasso beta| or RF impurity
+decrease.  Optional permutation z-scores [ref:
+Window.run_permutation_test ~L?] and Lasso bootstrap stability
+[ref: LassoWindow.run_bootstrap ~L?].
+
+Spark form: `groupBy(group_key, win_start).applyInPandas(fit, EDGE_SCHEMA)`
+(SURVEY.md §2.4 A1, §2.9 U1/U6).  Arrow moves one array column per lag;
+all math is numpy inside the worker.  Determinism pins (§4.3 #1): rows
+sorted by (replicate, bucket_idx) before fitting; every random draw
+seeded from blake2b(group_key, win_start, target).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from swingstream.config import SwingParams
+from swingstream.models.lasso import bootstrap_stability, cv_select_alpha, lasso_cd
+from swingstream.models.permutation import permutation_zscores
+from swingstream.models.rf import extra_trees_importance
+
+EDGE_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType()),
+        StructField("win_start", LongType()),
+        StructField("win_start_ts", TimestampType()),
+        StructField("parent", StringType()),
+        StructField("child", StringType()),
+        StructField("lag", IntegerType()),
+        StructField("importance", DoubleType()),
+        StructField("zscore", DoubleType()),
+        StructField("p_value", DoubleType()),
+        StructField("stability", DoubleType()),
+    ]
+)
+
+
+def _seed(group_key: str, win_start: int, target: int) -> int:
+    h = hashlib.blake2b(
+        f"{group_key}|{win_start}|{target}".encode(), digest_size=8
+    ).digest()
+    return int.from_bytes(h, "big")
+
+
+def fit_design(
+    X: np.ndarray, y: np.ndarray, params: SwingParams, seed: int
+) -> np.ndarray:
+    """One target's importance vector over the (G*K)-wide lagged design."""
+    if params.method == "rf":
+        return extra_trees_importance(
+            X, y, n_trees=params.n_trees, max_depth=params.max_depth, seed=seed
+        )
+    alpha = params.alpha
+    if alpha is None:
+        alpha = cv_select_alpha(X, y, n_alphas=params.n_alphas)
+    return np.abs(lasso_cd(X, y, alpha))
+
+
+def make_fit_fn(
+    params: SwingParams, feature_names: tuple[str, ...] | None = None
+) -> Callable[[tuple, pd.DataFrame], pd.DataFrame]:
+    names = list(feature_names or params.feature_names)
+    lags = list(params.lags)
+    w = params.window_width
+    p = params
+
+    def fit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        group_key, win_start = str(key[0]), int(key[1])
+        empty = pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in EDGE_SCHEMA.fields}
+        )
+        lag_cols = [f"lag_{k}" for k in lags]
+        pdf = pdf.sort_values(["replicate", "bucket_idx"], kind="stable")
+        mask = pdf[lag_cols].notna().all(axis=1)
+        pdf = pdf[mask]
+        if len(pdf) == 0:
+            return empty
+        # complete replicates only: exactly w in-window rows each
+        sizes = pdf.groupby("replicate", sort=False)["bucket_idx"].transform("size")
+        pdf = pdf[sizes == w]
+        if len(pdf) < 3:
+            return empty
+        start_rows = pdf[pdf["bucket_idx"] == win_start]
+        if len(start_rows) == 0:
+            return empty
+        win_start_ts = start_rows["bucket_ts"].iloc[0]
+        G = len(names)
+        Y = np.stack(pdf["features"].to_numpy())  # (n, G)
+        X = np.concatenate(
+            [np.stack(pdf[c].to_numpy()) for c in lag_cols], axis=1
+        )  # (n, G*K); column k_idx*G + i = feature i at lag lags[k_idx]
+        out: dict[str, list] = {f.name: [] for f in EDGE_SCHEMA.fields}
+        for j in range(G):
+            y = Y[:, j]
+            seed = _seed(group_key, win_start, j)
+            if y.std() == 0.0:
+                imp = np.zeros(X.shape[1])
+            else:
+                imp = fit_design(X, y, p, seed)
+            zs = ps = stab = None
+            if p.n_permutations > 0 and y.std() > 0.0:
+                fitf = lambda Xp, yp: fit_design(Xp, yp, p, seed)
+                zs, ps = permutation_zscores(
+                    X, y, imp, fitf, n_permutations=p.n_permutations, seed=seed
+                )
+            if p.n_bootstraps > 0 and p.method == "lasso" and y.std() > 0.0:
+                alpha = p.alpha if p.alpha is not None else cv_select_alpha(X, y)
+                stab = bootstrap_stability(
+                    X, y, alpha, n_bootstraps=p.n_bootstraps, seed=seed
+                )
+            for k_idx, k in enumerate(lags):
+                for i in range(G):
+                    if not p.self_edges and i == j:
+                        continue
+                    c = k_idx * G + i
+                    out["group_key"].append(group_key)
+                    out["win_start"].append(win_start)
+                    out["win_start_ts"].append(win_start_ts)
+                    out["parent"].append(names[i])
+                    out["child"].append(names[j])
+                    out["lag"].append(k)
+                    out["importance"].append(float(imp[c]))
+                    out["zscore"].append(None if zs is None else float(zs[c]))
+                    out["p_value"].append(None if ps is None else float(ps[c]))
+                    out["stability"].append(None if stab is None else float(stab[c]))
+        return pd.DataFrame(out)
+
+    return fit
+
+
+def score_windows(
+    windowed: DataFrame,
+    params: SwingParams,
+    feature_names: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """groupBy(group_key, win_start) -> applyInPandas regression scoring."""
+    fit = make_fit_fn(params, feature_names)
+    return windowed.groupBy("group_key", "win_start").applyInPandas(fit, EDGE_SCHEMA)

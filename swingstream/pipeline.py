@@ -1,0 +1,118 @@
+"""Batch SWING pipeline — end-to-end composition (SURVEY.md §3.4 batch twin).
+
+    pages ──host_bucket_features──> canonical series ──with_lags──>
+    explode_windows ──score_windows──> edge table ──rank_edges──>
+    ranked adjacency list
+
+Mirrors the reference lifecycle [ref: Swing/Swing.py: zscore_all_data →
+create_windows → fit_windows → rank_edges → compile_roller_edges →
+make_sort_df ~L?] as one lazy Catalyst plan: two shuffles (feature agg
+by (host, bucket); scoring group by (group_key, win_start)) plus the
+final small rank aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swingstream.config import SwingParams
+from swingstream.operators.features import densify_buckets, host_bucket_features
+from swingstream.operators.lagged import explode_windows, with_lags
+from swingstream.operators.ranking import rank_edges
+from swingstream.operators.scoring import score_windows
+
+
+def series_from_features(features: DataFrame) -> DataFrame:
+    """(group_key, bucket_idx, bucket_ts, features) -> canonical series."""
+    return features.select(
+        "group_key", F.lit("").alias("replicate"), "bucket_idx", "bucket_ts", "features"
+    )
+
+
+def series_from_wide(
+    wide: DataFrame, feature_cols: list[str], group_key: str = "net"
+) -> DataFrame:
+    """DREAM4-style wide frame (series_key, bucket_idx, ts, g1..gG) ->
+    canonical series (replicate = series_key, pooled under one group)."""
+    return wide.select(
+        F.lit(group_key).alias("group_key"),
+        F.col("series_key").alias("replicate"),
+        F.col("bucket_idx").cast("long").alias("bucket_idx"),
+        F.col("ts").alias("bucket_ts"),
+        F.array(*[F.col(c).cast("double") for c in feature_cols]).alias("features"),
+    )
+
+
+def zscore_series(series: DataFrame) -> DataFrame:
+    """P4 batch twin of [ref: Swing/Swing.py::zscore_all_data ~L?]:
+    per-(group, feature) global z-score via explode → agg → join → repack.
+
+    The regression UDF also standardizes per design matrix (the pinned
+    P4 semantics); this operator exists for reference-lifecycle parity
+    and as the A5 exemplar.
+    """
+    long = series.select(
+        "group_key",
+        "replicate",
+        "bucket_idx",
+        "bucket_ts",
+        F.posexplode("features").alias("fidx", "value"),
+    )
+    stats = long.groupBy("group_key", "fidx").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    )
+    z = long.join(stats, ["group_key", "fidx"]).withColumn(
+        "zvalue",
+        F.when(F.col("sd") > 0, (F.col("value") - F.col("mu")) / F.col("sd")).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    return (
+        z.groupBy("group_key", "replicate", "bucket_idx", "bucket_ts")
+        .agg(F.array_sort(F.collect_list(F.struct("fidx", "zvalue"))).alias("fs"))
+        .select(
+            "group_key",
+            "replicate",
+            "bucket_idx",
+            "bucket_ts",
+            F.transform("fs", lambda s: s["zvalue"]).alias("features"),
+        )
+    )
+
+
+def swing_batch(
+    series: DataFrame,
+    params: SwingParams,
+    feature_names: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Canonical series -> ranked adjacency list (the flagship query)."""
+    lagged = with_lags(series, params)
+    windowed = explode_windows(lagged, params)
+    edges = score_windows(windowed, params, feature_names)
+    return rank_edges(edges, params)
+
+
+def swing_edges(
+    series: DataFrame,
+    params: SwingParams,
+    feature_names: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Canonical series -> per-window edge table (pre-aggregation)."""
+    return score_windows(explode_windows(with_lags(series, params), params),
+                         params, feature_names)
+
+
+def pages_pipeline(
+    pages: DataFrame, params: SwingParams, *, salted: bool = True
+) -> DataFrame:
+    """Full batch pipeline from the raw pages table."""
+    feats = host_bucket_features(pages, params, salted=salted)
+    dense = densify_buckets(feats, params)
+    return swing_batch(series_from_features(dense), params)
+
+
+def load_pages(spark: SparkSession, path: str) -> DataFrame:
+    from swingstream.sources.pages import PAGES_SCHEMA
+
+    return spark.read.schema(PAGES_SCHEMA).parquet(path)

@@ -1,0 +1,44 @@
+"""SparkSession factory with engine defaults pinned.
+
+Pins (SURVEY.md §4.2/§4.3): Arrow-vectorized Python exec on, UTC session
+timezone (duckdb-oracle comparability), AQE on for batch, shuffle/state
+partition count fixed BEFORE the first streaming checkpoint so local[8]
+and local[32] share checkpoints and output identically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# State partition count is frozen at the first checkpoint — pin it here
+# (SURVEY.md §4.3 pin #2).  64 covers local[8]..local[32] and a real
+# 1000-executor cluster would raise it via env before first deploy.
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SWINGSTREAM_SHUFFLE_PARTITIONS", "64"))
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "swingstream",
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SWINGSTREAM_MASTER", "local[*]")
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+        .config("spark.databricks.delta.snapshotPartitions", "1")  # no-op w/o delta
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SWINGSTREAM_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

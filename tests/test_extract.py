@@ -1,0 +1,49 @@
+"""t4: per-row extractor invariant — extract(html) == text byte-identical."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from swingstream.extract import extract, render
+from swingstream.fixtures import PagesSpec, gen_pages
+
+
+def test_roundtrip_basic():
+    for t in ["", "hello world", "a & b < c > d", "&amp; pre-escaped &lt;",
+              "unicode: héllo wörld — ✓", "nested <article>x</article> tag"]:
+        assert extract(render(t)) == t
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=500))
+def test_roundtrip_property(t):
+    assert extract(render(t)) == t
+
+
+def test_fixture_invariant_all_rows():
+    df = gen_pages(PagesSpec(n_hosts=3, n_buckets=10))
+    assert len(df) > 0
+    for html, text in zip(df["html"], df["text"]):
+        assert extract(html) == text
+
+
+def test_fixture_determinism():
+    a = gen_pages(PagesSpec(n_hosts=3, n_buckets=8))
+    b = gen_pages(PagesSpec(n_hosts=3, n_buckets=8))
+    assert a.equals(b)
+
+
+def test_fixture_has_skew_dups_and_late():
+    df = gen_pages(PagesSpec(n_hosts=4, n_buckets=20))
+    hosts = df["url"].str.extract(r"https://([^/]+)/")[0]
+    counts = hosts.value_counts()
+    assert counts["hot.example.com"] > 3 * counts.drop("hot.example.com").max()
+    # exact duplicates exist
+    assert df.duplicated(subset=["url", "warc_ts", "text"]).any()
+    # some rows arrive far later than event order (late data)
+    ts = df["warc_ts"].to_numpy()
+    import numpy as np
+
+    lateness = np.array([(ts[: i + 1].max() - ts[i]) for i in range(len(ts))])
+    assert (lateness > np.timedelta64(5, "m")).any()
