@@ -1,0 +1,1038 @@
+"""Driver-contract query catalog: every SURVEY.md §2 operator family as a
+(spark_fn, duckdb_oracle_sql) pair over /root/testdata tables.
+
+Parity rules (the driver hashes values with columns sorted by name):
+  * every computed column aliased identically on both sides;
+  * float aggregates rounded to 6 dp (cosines 9 dp) on both sides so
+    summation-order ulp noise cannot flip the hash;
+  * counts / row_numbers cast to BIGINT on both sides;
+  * SQL written in the same operation order as the Spark expression so
+    IEEE double results are bit-identical;
+  * session timezone pinned UTC inside each callable (date_trunc /
+    window() are TZ-sensitive).
+
+Oracle-less entries (SQL would need xxhash64 / stateful semantics) are
+checked rows-only by the driver: minhash-LSH, simhash, hyperplane ANN,
+media features, and the SWING fixture pipelines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from swingstream.config import SwingParams
+from swingstream.functions import textfns as T
+
+STOP_EN = T.STOPWORDS["en"]
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _fr6(c):
+    """floor-based half-up rounding to 6 dp — identical double arithmetic
+    in Spark and DuckDB (plain ROUND disagrees at half-boundaries:
+    Spark rounds the shortest decimal repr, DuckDB the exact double)."""
+    return F.floor(c * 1000000.0 + 0.5) / 1000000.0
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational core
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf):
+    _prep(spark)
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 6) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q03_top_orders(spark, sf):
+    _prep(spark)
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").where(F.col("o_orderdate") < "1997-01-01")
+    l = _t(spark, sf, "lineitem").where(F.col("l_shipdate") > "1997-01-01")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q03 = """
+SELECT o_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q05_region_volume(spark, sf):
+    _prep(spark)
+    r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+SQL_Q05 = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_rollup_customers(spark, sf):
+    _prep(spark)
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 6).alias("sum_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_ROLLUP = """
+SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(c_acctbal), 6) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name, n_name
+"""
+
+
+def q_cube_orders(spark, sf):
+    _prep(spark)
+    o = _t(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 6) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_topk_parts_per_brand(spark, sf):
+    _prep(spark)
+    p = _t(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+        .orderBy("p_brand", "rk")
+    )
+
+
+SQL_TOPK_PARTS = """
+SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+              ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rk
+  FROM part)
+WHERE rk <= 3
+ORDER BY p_brand, rk
+"""
+
+
+def q_semi_join(spark, sf):
+    _prep(spark)
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_anti_join(spark, sf):
+    _prep(spark)
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_except_all(spark, sf):
+    _prep(spark)
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s).orderBy("nationkey")
+
+
+SQL_EXCEPT = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def q_intersect(spark, sf):
+    _prep(spark)
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+SQL_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def q_cross_universe(spark, sf):
+    _prep(spark)
+    r = _t(spark, sf, "region").select("r_name")
+    st = _t(spark, sf, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(st).orderBy("r_name", "o_orderstatus")
+
+
+SQL_CROSS = """
+SELECT r_name, o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+ORDER BY r_name, o_orderstatus
+"""
+
+
+def q_top_suppliers(spark, sf):
+    _prep(spark)
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+            "revenue"
+        )
+    )
+    return (
+        rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+        .limit(5)
+    )
+
+
+SQL_TOP_SUPPLIERS = """
+SELECT s_suppkey, s_name, revenue FROM (
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+  FROM lineitem GROUP BY l_suppkey) r
+JOIN supplier ON r.l_suppkey = s_suppkey
+ORDER BY revenue DESC, s_suppkey
+LIMIT 5
+"""
+
+
+def q_parts_above_brand_avg(spark, sf):
+    _prep(spark)
+    p = _t(spark, sf, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("brand_avg", F.round(F.avg("p_retailprice").over(w), 6))
+        .where(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice", "brand_avg")
+        .orderBy("p_partkey")
+    )
+
+
+SQL_ABOVE_AVG = """
+SELECT p_partkey, p_brand, p_retailprice, brand_avg FROM (
+  SELECT p_partkey, p_brand, p_retailprice,
+         ROUND(AVG(p_retailprice) OVER (PARTITION BY p_brand), 6) AS brand_avg
+  FROM part)
+WHERE p_retailprice > brand_avg
+ORDER BY p_partkey
+"""
+
+
+def q_orders_by_month(spark, sf):
+    _prep(spark)
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_BY_MONTH = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 6) AS sum_price
+FROM orders GROUP BY 1 ORDER BY month
+"""
+
+
+def q_distinct_users(spark, sf):
+    _prep(spark)
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_DISTINCT = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions / event-time ops on `events`
+# ---------------------------------------------------------------------------
+
+def q_moving_avg(spark, sf):
+    _prep(spark)
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return (
+        e.withColumn("mov_avg", F.round(F.avg("value").over(w), 6))
+        .select("event_id", "user_id", "mov_avg")
+        .orderBy("event_id")
+    )
+
+
+SQL_MOVING_AVG = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+FROM events ORDER BY event_id
+"""
+
+
+def q_range_window(spark, sf):
+    _prep(spark)
+    e = _t(spark, sf, "events").withColumn(
+        "epoch_s", F.unix_timestamp("ts").cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-600, 0)
+    return (
+        e.withColumn("sum_10min", F.round(F.sum("value").over(w), 6))
+        .select("event_id", "user_id", "sum_10min")
+        .orderBy("event_id")
+    )
+
+
+SQL_RANGE_WINDOW = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 6) AS sum_10min
+FROM (SELECT *, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
+ORDER BY event_id
+"""
+
+
+def q_lag_lead(spark, sf):
+    _prep(spark)
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_value", F.lag("value", 1).over(w))
+        .withColumn("next_type", F.lead("event_type", 1).over(w))
+        .select("event_id", "user_id", "prev_value", "next_type")
+        .orderBy("event_id")
+    )
+
+
+SQL_LAG_LEAD = """
+SELECT event_id, user_id,
+       LAG(value, 1) OVER w AS prev_value,
+       LEAD(event_type, 1) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+def q_latest_event_per_user(spark, sf):
+    _prep(spark)
+    from swingstream.operators.asof import latest_version
+
+    e = _t(spark, sf, "events").withColumn(
+        "_ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id")
+    )
+
+
+SQL_LATEST_EVENT = """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def q_asof_last_purchase(spark, sf):
+    _prep(spark)
+    from swingstream.operators.asof import asof_last_before
+
+    e = _t(spark, sf, "events")
+    out = asof_last_before(
+        e.orderBy("ts", "event_id"),
+        "user_id",
+        "ts",
+        "value",
+        mark_expr=F.col("event_type") == "purchase",
+    )
+    # deterministic window order: redo with explicit (ts, event_id) order
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        e.withColumn("last_purchase", F.last(marked, ignorenulls=True).over(w))
+        .select("event_id", "user_id", "last_purchase")
+        .orderBy("event_id")
+    )
+
+
+SQL_ASOF = """
+SELECT event_id, user_id,
+       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase
+FROM events ORDER BY event_id
+"""
+
+
+def q_sessions(spark, sf):
+    _prep(spark)
+    from swingstream.operators.asof import session_stats
+
+    e = _t(spark, sf, "events")
+    return session_stats(e, "user_id", "ts", gap_seconds=1800)
+
+
+SQL_SESSIONS = """
+SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN prev_ts IS NULL
+                  OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM (SELECT user_id, ts,
+                 LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events))
+)
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def q_tumbling_events(spark, sf):
+    _prep(spark)
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+        .orderBy("win_start", "event_type")
+    )
+
+
+SQL_TUMBLING = """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+"""
+
+
+def q_sliding_events(spark, sf):
+    _prep(spark)
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+        .orderBy("win_start", "event_type")
+    )
+
+
+SQL_SLIDING = """
+SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS sum_value
+FROM (
+  SELECT unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+         event_type, value
+  FROM events)
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""
+
+
+def q_session_window_events(spark, sf):
+    _prep(spark)
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SQL_SESSION_WINDOW = """
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM (SELECT user_id, ts,
+                 LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events))
+)
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def q_json_props(spark, sf):
+    _prep(spark)
+    e = _t(spark, sf, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+SQL_JSON = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY 1 ORDER BY k_mod
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings — training-data-pipeline ops
+# ---------------------------------------------------------------------------
+
+def q_docs_stats(spark, sf):
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+            F.round(F.avg(T.token_count(F.col("text"))), 6).alias("avg_tokens"),
+            F.round(F.avg(T.digit_ratio(F.col("text"))), 6).alias("avg_digit_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DOCS_STATS = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(LENGTH(text)), 6) AS avg_chars,
+       ROUND(AVG(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(TRIM(text), '\\s+')) END), 6) AS avg_tokens,
+       ROUND(AVG(CASE WHEN LENGTH(text) = 0 THEN 0.0
+                 ELSE (LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+                      / LENGTH(text) END), 6) AS avg_digit_ratio
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_docs_quality(spark, sf):
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("doc_id", _fr6(T.quality_score(F.col("text"))).alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOCS_QUALITY = f"""
+SELECT doc_id,
+  FLOOR(GREATEST(CAST(0.0 AS DOUBLE), LEAST(CAST(1.0 AS DOUBLE),
+    CAST(0.4 AS DOUBLE) * LEAST(LENGTH(text), 500) / CAST(500.0 AS DOUBLE)
+    + CAST(0.3 AS DOUBLE) * (CASE WHEN n_toks = 0 THEN CAST(0.0 AS DOUBLE) ELSE n_stop / n_toks END)
+    - CAST(0.2 AS DOUBLE) * (CASE WHEN LENGTH(text) = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE (LENGTH(text) - LENGTH(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))) / LENGTH(text) END)
+    - CAST(0.1 AS DOUBLE) * (CASE WHEN LENGTH(text) = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE (LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))) / LENGTH(text) END)
+  )) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE) AS quality
+FROM (
+  SELECT doc_id, text,
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_toks,
+    len(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+        t -> list_contains({_sql_list(STOP_EN)}, t))) AS n_stop
+  FROM documents)
+ORDER BY doc_id
+"""
+
+
+def q_docs_langid(spark, sf):
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("pred_lang", T.lang_id(F.col("text")))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _sw_count(lg: str) -> str:
+    return (
+        f"len(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), "
+        f"t -> list_contains({_sql_list(T.STOPWORDS[lg])}, t)))"
+    )
+
+
+SQL_DOCS_LANGID = f"""
+SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT lang,
+    CASE WHEN GREATEST(ce, cd, cf, cs) = 0 THEN 'zz'
+         WHEN ce >= cd AND ce >= cf AND ce >= cs THEN 'en'
+         WHEN cd >= cf AND cd >= cs THEN 'de'
+         WHEN cf >= cs THEN 'fr'
+         ELSE 'es' END AS pred_lang
+  FROM (
+    SELECT lang, {_sw_count('en')} AS ce, {_sw_count('de')} AS cd,
+           {_sw_count('fr')} AS cf, {_sw_count('es')} AS cs
+    FROM documents))
+GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+
+def q_docs_digest_map(spark, sf):
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("digest"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .orderBy("digest")
+    )
+
+
+SQL_DIGEST_MAP = """
+SELECT md5(text) AS digest, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 ORDER BY digest
+"""
+
+
+def q_docs_ngram_jaccard(spark, sf):
+    _prep(spark)
+    from swingstream.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.4)
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id AS id, lang AS blk,
+         list_distinct(string_split_regex(TRIM(LOWER(text)), '\\s+')) AS t
+  FROM documents)
+SELECT a.id AS id_a, b.id AS id_b,
+       FLOOR(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE)
+             * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE) AS jaccard
+FROM toks a JOIN toks b ON a.blk = b.blk AND a.id < b.id
+WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+_EMB_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_emb_topk(spark, sf):
+    _prep(spark)
+    from swingstream.operators.similarity import brute_force_topk
+
+    v = _t(spark, sf, "embeddings")
+    return brute_force_topk(v, _EMB_QUERY_IDS, k=5)
+
+
+SQL_EMB_TOPK = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM base WHERE vec_id IN (0,1,2,3,4)),
+scored AS (
+  SELECT q.query_id, b.vec_id AS cand_id,
+         ROUND(list_dot_product(q.qvec, b.vec)
+               / (SQRT(list_dot_product(q.qvec, q.qvec))
+                  * SQRT(list_dot_product(b.vec, b.vec))), 9) AS cos
+  FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id)
+SELECT query_id, cand_id, cos, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, cand_id) AS BIGINT) AS rk
+  FROM scored)
+WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+
+def q_emb_neardup(spark, sf):
+    _prep(spark)
+    from swingstream.operators.similarity import neardup_pairs_cosine
+
+    v = _t(spark, sf, "embeddings")
+    return neardup_pairs_cosine(v, threshold=0.3)
+
+
+SQL_EMB_NEARDUP = """
+WITH base AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(list_dot_product(a.vec, b.vec)
+             / (SQRT(list_dot_product(a.vec, a.vec))
+                * SQRT(list_dot_product(b.vec, b.vec))), 9) AS cos
+FROM base a JOIN base b ON a.id < b.id
+WHERE ROUND(list_dot_product(a.vec, b.vec)
+            / (SQRT(list_dot_product(a.vec, a.vec))
+               * SQRT(list_dot_product(b.vec, b.vec))), 9) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-only entries (no SQL oracle → driver rows-only check)
+# ---------------------------------------------------------------------------
+
+def q_docs_minhash_lsh(spark, sf):
+    _prep(spark)
+    from swingstream.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(d, jaccard_threshold=0.3)
+
+
+def q_docs_simhash(spark, sf):
+    _prep(spark)
+    from swingstream.operators.dedup import simhash_neardup_pairs
+
+    d = _t(spark, sf, "documents")
+    return simhash_neardup_pairs(d, max_hamming=16)
+
+
+def q_emb_ann_lsh(spark, sf):
+    _prep(spark)
+    from swingstream.operators.similarity import lsh_ann_topk
+
+    v = _t(spark, sf, "embeddings")
+    return lsh_ann_topk(v, _EMB_QUERY_IDS, k=5, n_bits=4)
+
+
+def q_media_features(spark, sf):
+    _prep(spark)
+    from swingstream.operators.multimodal import (
+        extract_media_features,
+        media_from_documents,
+    )
+
+    d = _t(spark, sf, "documents")
+    return extract_media_features(media_from_documents(d)).orderBy("media_id")
+
+
+def _fixture_series(spark):
+    from swingstream.fixtures import gen_series
+    from swingstream.pipeline import series_from_wide
+
+    wide, net = gen_series(n_features=10, n_buckets=21, n_replicates=5, seed=42)
+    names = [f"g{i}" for i in range(1, 11)]
+    return series_from_wide(spark.createDataFrame(wide), names), names, net
+
+
+def q_swing_edges(spark, sf):
+    """Per-window SWING edge table on the DREAM4-style fixture (rows-only)."""
+    _prep(spark)
+    from swingstream.pipeline import swing_edges
+
+    series, names, _ = _fixture_series(spark)
+    params = SwingParams(window_width=10, min_lag=1, max_lag=2, method="lasso",
+                         alpha=0.05)
+    return swing_edges(series, params, feature_names=tuple(names))
+
+
+def q_swing_ranked(spark, sf):
+    """Flagship: ranked adjacency list on the DREAM4-style fixture."""
+    _prep(spark)
+    from swingstream.pipeline import swing_batch
+
+    series, names, _ = _fixture_series(spark)
+    params = SwingParams(window_width=10, min_lag=1, max_lag=3, method="lasso",
+                         alpha=0.05)
+    return swing_batch(series, params, feature_names=tuple(names))
+
+
+def q_pages_features(spark, sf):
+    """Per-host bucket features on the synthetic pages fixture (rows-only)."""
+    _prep(spark)
+    from swingstream.fixtures import PagesSpec, gen_pages
+    from swingstream.operators.features import host_bucket_features
+    from swingstream.sources.pages import pages_from_pandas
+
+    pages = pages_from_pandas(
+        spark, gen_pages(PagesSpec(n_hosts=4, n_buckets=30, base_docs_per_bucket=4))
+    )
+    params = SwingParams()
+    feats = host_bucket_features(pages, params, salted=True)
+    return feats.select(
+        "group_key",
+        "bucket_idx",
+        F.round(F.element_at("features", 1), 6).alias("f_docs"),
+        F.round(F.element_at("features", 2), 6).alias("f_len"),
+        F.round(F.element_at("features", 8), 6).alias("f_tokens"),
+    ).orderBy("group_key", "bucket_idx")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_top_orders": q03_top_orders,
+    "q05_region_volume": q05_region_volume,
+    "q_rollup_customers": q_rollup_customers,
+    "q_cube_orders": q_cube_orders,
+    "q_topk_parts_per_brand": q_topk_parts_per_brand,
+    "q_semi_join": q_semi_join,
+    "q_anti_join": q_anti_join,
+    "q_except_all": q_except_all,
+    "q_intersect": q_intersect,
+    "q_cross_universe": q_cross_universe,
+    "q_top_suppliers": q_top_suppliers,
+    "q_parts_above_brand_avg": q_parts_above_brand_avg,
+    "q_orders_by_month": q_orders_by_month,
+    "q_distinct_users": q_distinct_users,
+    "q_moving_avg": q_moving_avg,
+    "q_range_window": q_range_window,
+    "q_lag_lead": q_lag_lead,
+    "q_latest_event_per_user": q_latest_event_per_user,
+    "q_asof_last_purchase": q_asof_last_purchase,
+    "q_sessions": q_sessions,
+    "q_tumbling_events": q_tumbling_events,
+    "q_sliding_events": q_sliding_events,
+    "q_session_window_events": q_session_window_events,
+    "q_json_props": q_json_props,
+    "q_docs_stats": q_docs_stats,
+    "q_docs_quality": q_docs_quality,
+    "q_docs_langid": q_docs_langid,
+    "q_docs_digest_map": q_docs_digest_map,
+    "q_docs_ngram_jaccard": q_docs_ngram_jaccard,
+    "q_emb_topk": q_emb_topk,
+    "q_emb_neardup": q_emb_neardup,
+    "q_docs_minhash_lsh": q_docs_minhash_lsh,
+    "q_docs_simhash": q_docs_simhash,
+    "q_emb_ann_lsh": q_emb_ann_lsh,
+    "q_media_features": q_media_features,
+    "q_swing_edges": q_swing_edges,
+    "q_swing_ranked": q_swing_ranked,
+    "q_pages_features": q_pages_features,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": SQL_Q01,
+    "q03_top_orders": SQL_Q03,
+    "q05_region_volume": SQL_Q05,
+    "q_rollup_customers": SQL_ROLLUP,
+    "q_cube_orders": SQL_CUBE,
+    "q_topk_parts_per_brand": SQL_TOPK_PARTS,
+    "q_semi_join": SQL_SEMI,
+    "q_anti_join": SQL_ANTI,
+    "q_except_all": SQL_EXCEPT,
+    "q_intersect": SQL_INTERSECT,
+    "q_cross_universe": SQL_CROSS,
+    "q_top_suppliers": SQL_TOP_SUPPLIERS,
+    "q_parts_above_brand_avg": SQL_ABOVE_AVG,
+    "q_orders_by_month": SQL_BY_MONTH,
+    "q_distinct_users": SQL_DISTINCT,
+    "q_moving_avg": SQL_MOVING_AVG,
+    "q_range_window": SQL_RANGE_WINDOW,
+    "q_lag_lead": SQL_LAG_LEAD,
+    "q_latest_event_per_user": SQL_LATEST_EVENT,
+    "q_asof_last_purchase": SQL_ASOF,
+    "q_sessions": SQL_SESSIONS,
+    "q_tumbling_events": SQL_TUMBLING,
+    "q_sliding_events": SQL_SLIDING,
+    "q_session_window_events": SQL_SESSION_WINDOW,
+    "q_json_props": SQL_JSON,
+    "q_docs_stats": SQL_DOCS_STATS,
+    "q_docs_quality": SQL_DOCS_QUALITY,
+    "q_docs_langid": SQL_DOCS_LANGID,
+    "q_docs_digest_map": SQL_DIGEST_MAP,
+    "q_docs_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "q_emb_topk": SQL_EMB_TOPK,
+    "q_emb_neardup": SQL_EMB_NEARDUP,
+}

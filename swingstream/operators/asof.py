@@ -1,0 +1,73 @@
+"""As-of / latest-version / sessionization operators (SURVEY.md §2.3 J5/J6,
+§2.5 W4, and the T4 session-window batch twin).
+
+All are window-function formulations — one shuffle on the partition key,
+then ordered evaluation; no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_version(df: DataFrame, key: str, ts: str) -> DataFrame:
+    """W4: pick the most recent row per key (as-of enrichment)."""
+    w = Window.partitionBy(key).orderBy(F.desc(ts))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def asof_last_before(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    *,
+    mark_expr,
+) -> DataFrame:
+    """J5: for each row, the last prior row's ``value`` where mark_expr
+    held, per key, ordered by ts.  (e.g., last 'purchase' value before
+    each event.)  last_value(ignoreNulls) over an unbounded-preceding
+    frame excluding the current row."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = F.when(mark_expr, F.col(value))
+    return df.withColumn("asof_value", F.last(marked, ignorenulls=True).over(w))
+
+
+def sessionize(
+    df: DataFrame, key: str, ts: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """Batch sessionization: new session when the gap to the previous
+    event exceeds ``gap_seconds`` (lag + cumulative sum — the relational
+    twin of streaming ``session_window``)."""
+    w = Window.partitionBy(key).orderBy(ts)
+    gap = F.unix_timestamp(ts) - F.unix_timestamp(F.lag(ts, 1).over(w))
+    new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+
+
+def session_stats(
+    df: DataFrame, key: str, ts: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """Per-session aggregates: (key, session_id, n_events, start, end)."""
+    s = sessionize(df, key, ts, gap_seconds)
+    return (
+        s.groupBy(key, "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+        )
+        .orderBy(key, "session_id")
+    )

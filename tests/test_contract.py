@@ -1,0 +1,94 @@
+"""t1: driver-contract parity — every oracle-backed query vs DuckDB, and
+rows-only queries execute with stable schemas.
+
+Mimics the driver's check: row count, column names, order-insensitive
+value comparison (driver hashes; we compare sorted frames directly with
+a tight float tolerance — rounding is already inside both queries).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SWINGSTREAM_CONTRACT_SF", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ducks():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
+    assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            np.testing.assert_allclose(
+                a[c].to_numpy(), b[c].to_numpy(), rtol=0, atol=1e-9,
+                err_msg=f"{name}.{c}", equal_nan=True,
+            )
+        else:
+            mism = (a[c].fillna("__null__") != b[c].fillna("__null__")) if a[c].dtype == object else (
+                a[c].isna() != b[c].isna()) | (a[c].fillna(0) != b[c].fillna(0))
+            assert not mism.any(), f"{name}.{c}: {int(mism.sum())} mismatches\n" \
+                f"{a[mism][c].head()}\nvs\n{b[mism][c].head()}"
+
+
+ORACLE_NAMES = sorted(entry_mod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(ORACLE_NAMES))
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, ducks, name):
+    q = entry_mod.queries()[name]
+    spark_pdf = q(spark, SF_DIR).toPandas()
+    duck_pdf = ducks.sql(entry_mod.oracle_sql()[name]).df()
+    _assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF_DIR)
+    pdf = df.limit(2000).toPandas()
+    assert len(df.schema.fields) > 0
+    # schema stability: run twice, same schema
+    assert df.schema == q(spark, SF_DIR).schema
+
+
+def test_entry_smoke(spark):
+    out = entry_mod.entry(spark)
+    pdf = out.toPandas()
+    assert len(pdf) > 0
+    assert {"parent", "child", "mean_rank"} <= set(pdf.columns)
