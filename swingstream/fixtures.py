@@ -243,7 +243,9 @@ def gen_pages(spec: PagesSpec = PagesSpec()) -> pd.DataFrame:
     df = pd.concat([df, df.iloc[dup_idx]], ignore_index=True)
     # arrival order: mostly event order with local jitter; late_frac rows
     # deferred to the end of the arrival sequence (=> late beyond watermark)
-    order = np.argsort(df["warc_ts"].to_numpy(), kind="stable").astype(np.float64)
+    ts_ns = df["warc_ts"].to_numpy()
+    order = np.empty(len(df), dtype=np.float64)
+    order[np.argsort(ts_ns, kind="stable")] = np.arange(len(df))  # event-time rank
     order += rng.uniform(-3.0, 3.0, size=len(df))  # local out-of-orderness
     late_idx = rng.choice(len(df), size=int(len(df) * spec.late_frac), replace=False)
     order[late_idx] += len(df) * 0.5  # arrive ~half a stream later
@@ -255,14 +257,24 @@ def gen_pages(spec: PagesSpec = PagesSpec()) -> pd.DataFrame:
 def write_pages_stream_dir(
     df: pd.DataFrame, out_dir: str, n_files: int = 8
 ) -> list[str]:
-    """Split arrival-ordered pages into N parquet files for file-stream replay."""
+    """Split arrival-ordered pages into N parquet files for file-stream replay.
+
+    File mtimes are set strictly increasing in arrival order: Spark's
+    FileStreamSource orders new files by modification time, and files
+    written within the same timestamp granule would replay in arbitrary
+    order (nondeterministic watermark trajectory).
+    """
+    import os
     import pathlib
+    import time
 
     out = pathlib.Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     paths = []
+    t0 = time.time() - 2.0 * n_files
     for i, chunk in enumerate(np.array_split(np.arange(len(df)), n_files)):
         p = out / f"part-{i:04d}.parquet"
         df.iloc[chunk].drop(columns=["arrival_idx"]).to_parquet(p, index=False)
+        os.utime(p, (t0 + 2.0 * i, t0 + 2.0 * i))
         paths.append(str(p))
     return paths

@@ -78,6 +78,64 @@ def fit_design(
     return np.abs(lasso_cd(X, y, alpha))
 
 
+def score_design(
+    group_key: str,
+    win_start: int,
+    win_start_ts,
+    X: np.ndarray,
+    Y: np.ndarray,
+    params: SwingParams,
+    names: list[str],
+) -> dict[str, list]:
+    """Shared numpy scoring core — the SINGLE implementation both the
+    batch applyInPandas path and the streaming applyInPandasWithState
+    path call, so batch and stream emit byte-identical edge rows for the
+    same design (t3 parity requirement, BASELINE.json exactly-once
+    output matching).
+
+    X: (n, G*K) lagged design, column k_idx*G + i = feature i at
+    lags[k_idx]; Y: (n, G) responses.
+    """
+    p = params
+    lags = list(p.lags)
+    G = len(names)
+    out: dict[str, list] = {f.name: [] for f in EDGE_SCHEMA.fields}
+    for j in range(G):
+        y = Y[:, j]
+        seed = _seed(group_key, win_start, j)
+        if y.std() == 0.0:
+            imp = np.zeros(X.shape[1])
+        else:
+            imp = fit_design(X, y, p, seed)
+        zs = ps = stab = None
+        if p.n_permutations > 0 and y.std() > 0.0:
+            fitf = lambda Xp, yp: fit_design(Xp, yp, p, seed)
+            zs, ps = permutation_zscores(
+                X, y, imp, fitf, n_permutations=p.n_permutations, seed=seed
+            )
+        if p.n_bootstraps > 0 and p.method == "lasso" and y.std() > 0.0:
+            alpha = p.alpha if p.alpha is not None else cv_select_alpha(X, y)
+            stab = bootstrap_stability(
+                X, y, alpha, n_bootstraps=p.n_bootstraps, seed=seed
+            )
+        for k_idx, k in enumerate(lags):
+            for i in range(G):
+                if not p.self_edges and i == j:
+                    continue
+                c = k_idx * G + i
+                out["group_key"].append(group_key)
+                out["win_start"].append(win_start)
+                out["win_start_ts"].append(win_start_ts)
+                out["parent"].append(names[i])
+                out["child"].append(names[j])
+                out["lag"].append(k)
+                out["importance"].append(float(imp[c]))
+                out["zscore"].append(None if zs is None else float(zs[c]))
+                out["p_value"].append(None if ps is None else float(ps[c]))
+                out["stability"].append(None if stab is None else float(stab[c]))
+    return out
+
+
 def make_fit_fn(
     params: SwingParams, feature_names: tuple[str, ...] | None = None
 ) -> Callable[[tuple, pd.DataFrame], pd.DataFrame]:
@@ -106,45 +164,11 @@ def make_fit_fn(
         if len(start_rows) == 0:
             return empty
         win_start_ts = start_rows["bucket_ts"].iloc[0]
-        G = len(names)
         Y = np.stack(pdf["features"].to_numpy())  # (n, G)
         X = np.concatenate(
             [np.stack(pdf[c].to_numpy()) for c in lag_cols], axis=1
         )  # (n, G*K); column k_idx*G + i = feature i at lag lags[k_idx]
-        out: dict[str, list] = {f.name: [] for f in EDGE_SCHEMA.fields}
-        for j in range(G):
-            y = Y[:, j]
-            seed = _seed(group_key, win_start, j)
-            if y.std() == 0.0:
-                imp = np.zeros(X.shape[1])
-            else:
-                imp = fit_design(X, y, p, seed)
-            zs = ps = stab = None
-            if p.n_permutations > 0 and y.std() > 0.0:
-                fitf = lambda Xp, yp: fit_design(Xp, yp, p, seed)
-                zs, ps = permutation_zscores(
-                    X, y, imp, fitf, n_permutations=p.n_permutations, seed=seed
-                )
-            if p.n_bootstraps > 0 and p.method == "lasso" and y.std() > 0.0:
-                alpha = p.alpha if p.alpha is not None else cv_select_alpha(X, y)
-                stab = bootstrap_stability(
-                    X, y, alpha, n_bootstraps=p.n_bootstraps, seed=seed
-                )
-            for k_idx, k in enumerate(lags):
-                for i in range(G):
-                    if not p.self_edges and i == j:
-                        continue
-                    c = k_idx * G + i
-                    out["group_key"].append(group_key)
-                    out["win_start"].append(win_start)
-                    out["win_start_ts"].append(win_start_ts)
-                    out["parent"].append(names[i])
-                    out["child"].append(names[j])
-                    out["lag"].append(k)
-                    out["importance"].append(float(imp[c]))
-                    out["zscore"].append(None if zs is None else float(zs[c]))
-                    out["p_value"].append(None if ps is None else float(ps[c]))
-                    out["stability"].append(None if stab is None else float(stab[c]))
+        out = score_design(group_key, win_start, win_start_ts, X, Y, p, names)
         return pd.DataFrame(out)
 
     return fit

@@ -41,4 +41,6 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel(os.environ.get("SWINGSTREAM_LOG_LEVEL", "ERROR"))
+    return spark

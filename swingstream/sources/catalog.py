@@ -1,0 +1,151 @@
+"""Iceberg-style table layout: partitioned parquet + JSON manifest commits
+(SURVEY.md §2.1 S5, §2.8 T9).
+
+No Iceberg runtime jar ships in this sandbox (SURVEY.md §0), so this
+implements the Iceberg *commit contract* the engine needs — atomic,
+idempotent, manifest-tracked appends — over plain parquet, behind an
+interface a real ``iceberg-spark-runtime`` catalog drops into:
+
+  * every commit is keyed by ``batch_id``; a re-delivered batch
+    (foreachBatch retry, checkpoint replay) is a NO-OP because the
+    manifest ledger already records it — exactly-once at the sink;
+  * data files are staged to a ``_tmp`` dir and moved with an atomic
+    ``os.replace`` before the manifest is written; a crash between
+    stage and manifest leaves only invisible garbage (readers trust
+    manifests, never directory listings);
+  * each manifest carries per-partition lineage + metrics: file list,
+    row counts, min/max event time (BASELINE.json: "per-partition
+    lineage and metrics").
+
+Readers list manifests (small JSON files) and read exactly the files
+they name — the Iceberg snapshot-isolation model in miniature.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IcebergLiteTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "manifests")
+        self.tmp_dir = os.path.join(root, "_tmp")
+        for d in (self.data_dir, self.manifest_dir, self.tmp_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -- ledger ----------------------------------------------------------
+    def _manifest_path(self, batch_id: int | str) -> str:
+        return os.path.join(self.manifest_dir, f"manifest-{batch_id}.json")
+
+    def committed(self, batch_id: int | str) -> bool:
+        return os.path.exists(self._manifest_path(batch_id))
+
+    def manifests(self) -> list[dict]:
+        out = []
+        for f in sorted(os.listdir(self.manifest_dir)):
+            if f.startswith("manifest-") and f.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def data_files(self) -> list[str]:
+        files: list[str] = []
+        for m in self.manifests():
+            files.extend(m["files"])
+        return files
+
+    # -- write -----------------------------------------------------------
+    def commit(
+        self,
+        batch_id: int | str,
+        df: DataFrame,
+        event_time_col: str | None = None,
+        extra_metrics: dict | None = None,
+        n_files: int | None = None,
+    ) -> dict | None:
+        """Idempotent append of one micro-batch.  Returns the manifest,
+        or None when the batch was already committed (replay no-op).
+
+        ``n_files`` bounds the files per commit (a downstream file-stream
+        consumer needs whole commits per trigger: set n_files=1 and
+        maxFilesPerTrigger=k to consume k commits atomically, in commit
+        order — data dirs are zero-padded so path order == commit order).
+        """
+        if self.committed(batch_id):
+            return None
+        if n_files is not None:
+            df = df.coalesce(n_files)
+
+        stage = os.path.join(self.tmp_dir, f"stage-{batch_id}-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+
+        # per-partition lineage: one entry per parquet part file
+        part_files = sorted(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        label = f"{int(batch_id):010d}" if str(batch_id).isdigit() else str(batch_id)
+        final_dir = os.path.join(self.data_dir, f"batch-{label}")
+        lineage = []
+        os.makedirs(final_dir + ".tmp", exist_ok=True)
+        import pyarrow.parquet as pq
+
+        for f in part_files:
+            src = os.path.join(stage, f)
+            md = pq.read_metadata(src)
+            lineage.append({"file": f"batch-{label}/{f}", "rows": md.num_rows})
+            os.replace(src, os.path.join(final_dir + ".tmp", f))
+        os.replace(final_dir + ".tmp", final_dir)  # atomic publish of the dir
+        shutil.rmtree(stage, ignore_errors=True)
+
+        metrics: dict = {"rows": sum(e["rows"] for e in lineage)}
+        if event_time_col is not None and metrics["rows"] > 0:
+            agg = None
+            try:
+                import duckdb  # cheap local min/max over the committed files
+
+                con = duckdb.connect()
+                agg = con.sql(
+                    f"SELECT CAST(MIN({event_time_col}) AS VARCHAR), "
+                    f"CAST(MAX({event_time_col}) AS VARCHAR) "
+                    f"FROM read_parquet('{final_dir}/*.parquet')"
+                ).fetchone()
+            except Exception:
+                agg = None
+            if agg is not None:
+                metrics["min_event_time"], metrics["max_event_time"] = agg
+        if extra_metrics:
+            metrics.update(extra_metrics)
+
+        manifest = {
+            "batch_id": batch_id,
+            "files": [e["file"] for e in lineage],
+            "partitions": lineage,
+            "metrics": metrics,
+        }
+        tmp_manifest = self._manifest_path(batch_id) + ".tmp"
+        with open(tmp_manifest, "w") as fh:
+            json.dump(manifest, fh, indent=1, default=str)
+        os.replace(tmp_manifest, self._manifest_path(batch_id))  # atomic commit
+        return manifest
+
+    # -- read ------------------------------------------------------------
+    def read(self, spark: SparkSession, schema=None) -> DataFrame:
+        files = [os.path.join(self.data_dir, f) for f in self.data_files()]
+        if not files:
+            if schema is None:
+                raise ValueError("empty table and no schema given")
+            return spark.createDataFrame([], schema)
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*files)
+
+    def total_rows(self) -> int:
+        return sum(m["metrics"]["rows"] for m in self.manifests())

@@ -1,0 +1,143 @@
+"""Streaming query 1: pages stream → features staging table.
+
+The aggregation state is keyed by (host, window, salt) — the explicit
+hot-domain skew handling (T11): a hot host's bucket fans over
+``n_salts`` state partitions; the per-batch salt-combine in foreachBatch
+is exact because append-mode emission releases ALL salt partials of a
+window in the same micro-batch (the global watermark finalizes them
+together).  The combine itself is algebraic (sums of sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from swingstream.config import SwingParams
+from swingstream.functions.textfns import host_of
+from swingstream.operators.features import _finalize, _partials
+from swingstream.sources.catalog import IcebergLiteTable
+from swingstream.sources.pages import read_pages_stream
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType(), False),
+        StructField("bucket_idx", LongType(), False),
+        StructField("bucket_ts", TimestampType(), False),
+        StructField("features", ArrayType(DoubleType()), False),
+    ]
+)
+
+
+def feature_partials_stream(pages: DataFrame, params: SwingParams) -> DataFrame:
+    """watermark → dedup-within-watermark → salted windowed partial agg."""
+    d = params.delta_seconds
+    deduped = (
+        pages.withWatermark("warc_ts", params.watermark)
+        .dropDuplicatesWithinWatermark(["url", "warc_ts"])  # T8 exactly-once rows
+    )
+    rows = deduped.select(
+        host_of(F.col("url")).alias("host"),
+        "warc_ts",
+        "url",
+        "text",
+        "lang",
+        F.pmod(F.xxhash64("url"), F.lit(params.n_salts)).alias("salt"),
+    )
+    # streaming variant of the partials: DISTINCT aggregation is not
+    # allowed on streams, so distinct-url counting rides on collect_set
+    # (exact, algebraic across salts — each url hashes to one salt).
+    # At 10^12 scale this column becomes an HLL sketch; the combine
+    # contract (union then count) is identical.
+    parts = {k: a for k, a in _partials().items() if k != "n_urls"}
+    parts["url_set"] = F.collect_set("url")
+    return rows.groupBy(
+        "host", F.window("warc_ts", f"{d} seconds").alias("win"), "salt"
+    ).agg(*[a.alias(k) for k, a in parts.items()])
+
+
+def combine_partials(batch_df: DataFrame, params: SwingParams) -> DataFrame:
+    """Salt-combine one emitted micro-batch into final feature rows."""
+    d = params.delta_seconds
+    sums = [F.sum(k).alias(k) for k in _partials() if k != "n_urls"]
+    merged = (
+        batch_df.withColumn(
+            "bucket_idx",
+            (F.unix_timestamp(F.col("win.start")) / d).cast("long"),
+        )
+        .groupBy("host", "bucket_idx")
+        .agg(
+            *sums,
+            F.size(F.array_distinct(F.flatten(F.collect_list("url_set"))))
+            .cast("long")
+            .alias("n_urls"),
+        )
+    )
+    return (
+        _finalize(merged, params)
+        .withColumnRenamed("host", "group_key")
+        .select("group_key", "bucket_idx", "bucket_ts", "features")
+    )
+
+
+def watermark_dropped_rows(query) -> int:
+    """Sum of rows dropped as too-late across the query's progress events
+    (T7 observability)."""
+    total = 0
+    for p in query.recentProgress:
+        for op in p.get("stateOperators", []) if isinstance(p, dict) else []:
+            total += op.get("numRowsDroppedByWatermark", 0)
+    return total
+
+
+def run_feature_query(
+    spark: SparkSession,
+    pages_path: str,
+    table_root: str,
+    checkpoint: str,
+    params: SwingParams,
+    max_files_per_trigger: int = 1,
+):
+    """Run query 1 to completion (availableNow) with exactly-once commits.
+
+    Returns (IcebergLiteTable, total rows dropped by watermark).
+    """
+    table = IcebergLiteTable(table_root)
+    pages = read_pages_stream(spark, pages_path, max_files_per_trigger)
+    partials = feature_partials_stream(pages, params)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # n_files=1: one file per commit so the downstream scoring query
+        # consumes whole commits per trigger (bucket order per host is
+        # then monotone — the invariant state.py's emission relies on)
+        table.commit(batch_id, combine_partials(batch_df, params), "bucket_ts",
+                     n_files=1)
+
+    dropped = 0
+    q = (
+        partials.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    for p in q.recentProgress:
+        d = p.json if hasattr(p, "json") else None
+        try:
+            import json as _json
+
+            for op in _json.loads(d)["stateOperators"] if d else []:
+                dropped += op.get("numRowsDroppedByWatermark", 0)
+        except Exception:
+            pass
+    return table, dropped

@@ -1,0 +1,194 @@
+"""Streaming query 2: per-host stateful SWING scoring.
+
+The streaming twin of SURVEY.md §2.4 A1 via §2.8 T5: a rolling per-host
+buffer of the last (w + max_lag + slack) feature buckets lives in
+``applyInPandasWithState`` state; each complete, not-yet-emitted window
+is scored with the SAME numpy core as the batch path
+(operators.scoring.score_design) so batch and stream emit byte-identical
+edge rows for the same input (BASELINE.json output-match gate).
+
+Correctness argument for emission: query 1 emits a (host, bucket) row
+only when the global watermark passes the bucket's window end, so per
+host, staged bucket_idx values are non-decreasing across micro-batches;
+window n is scored as soon as its span [n - max_lag, n + w) lies inside
+the observed dense span, and n is recorded monotonically in state —
+re-delivery of a batch cannot re-emit (max_emitted guard) and the sink
+ledger de-duplicates whole batches.
+
+State size: O(w + max_lag) buckets × G doubles per ACTIVE host —
+pruned after every emission, so 10^12 rows stream through while state
+holds only each host's tail.  State-partition count is frozen at the
+first checkpoint (§4.3 pin #2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from swingstream.config import SwingParams
+from swingstream.operators.scoring import EDGE_SCHEMA, score_design
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("idx", ArrayType(LongType())),
+        StructField("feats", ArrayType(ArrayType(DoubleType()))),
+        StructField("max_emitted", LongType()),
+    ]
+)
+
+
+def _dense_merge(
+    idx: list[int], feats: list[list[float]], new_idx, new_feats, g: int
+) -> tuple[list[int], list[list[float]]]:
+    """Merge new buckets into the buffer, zero-filling interior gaps —
+    the streaming twin of operators.features.densify_buckets."""
+    by_idx = dict(zip(idx, feats))
+    for i, f in zip(new_idx, new_feats):
+        by_idx.setdefault(int(i), list(f))  # first write wins (replay no-op)
+    if not by_idx:
+        return [], []
+    lo, hi = min(by_idx), max(by_idx)
+    zero = [0.0] * g
+    full = [(i, by_idx.get(i, zero)) for i in range(lo, hi + 1)]
+    return [i for i, _ in full], [f for _, f in full]
+
+
+def emit_windows(
+    group_key: str,
+    idx: list[int],
+    feats: list[list[float]],
+    max_emitted: int | None,
+    params: SwingParams,
+    names: list[str],
+    delta: int,
+) -> tuple[list[dict[str, list]], int | None]:
+    """Score every complete window newer than max_emitted.  Returns
+    (edge row-dicts, new max_emitted)."""
+    out = []
+    if not idx:
+        return out, max_emitted
+    lo, hi = idx[0], idx[-1]
+    arr = np.asarray(feats, dtype=np.float64)
+    w, s, kmin, kmax = (
+        params.window_width,
+        params.step_size,
+        params.min_lag,
+        params.max_lag,
+    )
+    # earliest complete window start, aligned to the absolute step grid
+    # (win_start % s == 0 — same pin as operators.lagged.explode_windows)
+    n = lo + kmax
+    n += (-n) % s
+    new_max = max_emitted
+    while n + w - 1 <= hi:
+        if (max_emitted is None or n > max_emitted) and n - kmax >= lo:
+            rows_y = arr[n - lo : n - lo + w]
+            X = np.concatenate(
+                [arr[n - k - lo : n - k - lo + w] for k in params.lags], axis=1
+            )
+            win_ts = pd.Timestamp(int(n) * delta, unit="s")
+            out.append(
+                score_design(group_key, int(n), win_ts, X, rows_y, params, names)
+            )
+            new_max = int(n) if new_max is None else max(new_max, int(n))
+        n += s
+    return out, new_max
+
+
+def make_state_fn(params: SwingParams, names: list[str]):
+    g = len(names)
+    delta = params.delta_seconds
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        group_key = str(key[0])
+        new_idx: list[int] = []
+        new_feats: list[list[float]] = []
+        for pdf in pdfs:
+            new_idx.extend(int(i) for i in pdf["bucket_idx"])
+            # plain-Python floats: state round-trips through the JVM
+            # pickler, which rejects numpy scalars
+            new_feats.extend([float(x) for x in f] for f in pdf["features"])
+        if state.exists:
+            idx0, feats0, max_emitted = state.get
+            idx0 = [int(i) for i in idx0]
+            feats0 = [[float(x) for x in f] for f in feats0]
+            max_emitted = None if max_emitted is None else int(max_emitted)
+        else:
+            idx0, feats0, max_emitted = [], [], None
+        idx, feats = _dense_merge(idx0, feats0, new_idx, new_feats, g)
+        scored, max_emitted = emit_windows(
+            group_key, idx, feats, max_emitted, params, names, delta
+        )
+        # prune: future windows need buckets >= next_start - max_lag
+        if max_emitted is not None:
+            keep_from = max_emitted + params.step_size - params.max_lag
+            keep = [(i, f) for i, f in zip(idx, feats) if i >= keep_from]
+            idx, feats = [i for i, _ in keep], [f for _, f in keep]
+        state.update((idx, feats, max_emitted))
+        for rows in scored:
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def score_stream(
+    features: DataFrame, params: SwingParams, names: list[str]
+) -> DataFrame:
+    """feature stream -> streaming edge rows (append mode)."""
+    return features.groupBy("group_key").applyInPandasWithState(
+        make_state_fn(params, names),
+        EDGE_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_scoring_query(
+    spark,
+    staging_data_dir: str,
+    out_root: str,
+    checkpoint: str,
+    params: SwingParams,
+    names: list[str],
+):
+    """Run query 2 to completion over the staged feature files."""
+    from swingstream.sources.catalog import IcebergLiteTable
+    from swingstream.streaming.pipeline import FEATURE_SCHEMA
+
+    table = IcebergLiteTable(out_root)
+    feats = (
+        spark.readStream.schema(FEATURE_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "4")
+        .parquet(staging_data_dir)
+    )
+    edges = score_stream(feats, params, names)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.commit(batch_id, batch_df, "win_start_ts")
+
+    q = (
+        edges.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table

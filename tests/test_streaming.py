@@ -1,0 +1,283 @@
+"""t3: streaming semantics — exactly-once sink, watermark-gated feature
+emission vs a simulated oracle, stateful scoring parity with batch,
+checkpoint resume, stream-stream lagged self-join parity."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from swingstream.config import SwingParams
+from swingstream.fixtures import PagesSpec, gen_pages, write_pages_stream_dir
+from swingstream.sources.catalog import IcebergLiteTable
+
+PARAMS = SwingParams(
+    window_width=6, step_size=1, min_lag=1, max_lag=2, method="lasso", alpha=0.05,
+    watermark="5 minutes", n_salts=4,
+)
+SPEC = PagesSpec(n_hosts=4, n_buckets=30, base_docs_per_bucket=4)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages_stream")
+    df = gen_pages(SPEC)
+    write_pages_stream_dir(df, str(d), n_files=8)
+    return str(d), df
+
+
+def _watermark_oracle(df: pd.DataFrame, n_files: int, delay_s: int, delta_s: int):
+    """Simulate Spark's per-batch watermark semantics (verified against
+    Spark 4.1 this round):
+
+      * active wm for batch k = max event time of batches < k, minus
+        the delay;
+      * LATE-RECORD FILTERING in a multi-stateful-operator query uses
+        the PREVIOUS batch's active wm (so rows arriving in the very
+        batch where their window finalizes still contribute);
+      * a window is emitted iff its end <= final wm; a row can never
+        reach an already-emitted window (filter_wm monotone >= the wm
+        that emitted it).
+
+    Returns (contributing rows, emitted (host, bucket_idx) set,
+    n_late_dropped)."""
+    chunks = np.array_split(np.arange(len(df)), n_files)
+    active_wm = pd.Timestamp.min  # wm in effect during current batch
+    filter_wm = pd.Timestamp.min  # previous batch's active wm
+    delay = pd.Timedelta(seconds=delay_s)
+    delta = pd.Timedelta(seconds=delta_s)
+    seen: dict = {}  # (url, ts) -> expiry (= ts + delay); dedup state
+    keep_rows = []
+    n_late = 0
+    max_ts = pd.Timestamp.min
+    for chunk in chunks:
+        batch = df.iloc[chunk]
+        # dedup-state eviction (expiry <= active wm)
+        seen = {k: e for k, e in seen.items() if e > active_wm}
+        for _, r in batch.iterrows():
+            key = (r["url"], r["warc_ts"])
+            if key in seen:
+                continue  # duplicate within watermark -> dropped
+            seen[key] = r["warc_ts"] + delay
+            win_end = r["warc_ts"].floor(delta) + delta
+            if win_end <= filter_wm:
+                n_late += 1
+                continue
+            keep_rows.append(r)
+        max_ts = max(max_ts, batch["warc_ts"].max())
+        filter_wm = active_wm
+        active_wm = max_ts - delay
+    final_wm = max_ts - pd.Timedelta(seconds=delay_s)
+    kept = pd.DataFrame(keep_rows)
+    kept["host"] = kept["url"].str.extract(r"https://([^/]+)/")[0]
+    kept["bucket_idx"] = (
+        kept["warc_ts"].map(pd.Timestamp.timestamp) // delta_s
+    ).astype("int64")
+    emitted = {
+        (h, b)
+        for (h, b), _ in kept.groupby(["host", "bucket_idx"])
+        if pd.Timestamp((b + 1) * delta_s, unit="s") <= final_wm
+    }
+    return kept, emitted, n_late
+
+
+def test_sink_idempotent_and_lineage(spark, tmp_path):
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    df = spark.range(100).selectExpr("id", "timestamp_seconds(id) AS ts")
+    m1 = t.commit(7, df, "ts")
+    assert m1 is not None and m1["metrics"]["rows"] == 100
+    assert m1["partitions"] and all(p["rows"] >= 0 for p in m1["partitions"])
+    assert "min_event_time" in m1["metrics"]
+    # replay => no-op
+    assert t.commit(7, df, "ts") is None
+    assert t.total_rows() == 100
+    assert t.read(spark).count() == 100
+    # a different batch appends
+    t.commit(8, df.limit(10), "ts")
+    assert t.total_rows() == 110
+
+
+def test_feature_query_matches_watermark_oracle(spark, stream_dir, tmp_path):
+    from swingstream.streaming.pipeline import run_feature_query
+
+    path, df = stream_dir
+    table, dropped = run_feature_query(
+        spark, path, str(tmp_path / "feat"), str(tmp_path / "ck"), PARAMS,
+        max_files_per_trigger=1,
+    )
+    got = table.read(spark).toPandas()
+    kept, emitted, n_late = _watermark_oracle(
+        df, 8, delay_s=300, delta_s=PARAMS.delta_seconds
+    )
+    assert n_late > 0, "fixture must exercise late-drop"
+    got_keys = {(r["group_key"], r["bucket_idx"]) for _, r in got.iterrows()}
+    assert got_keys == emitted, (
+        f"missing={sorted(emitted - got_keys)[:5]} extra={sorted(got_keys - emitted)[:5]}"
+    )
+    # feature values: exactly-once (no duplicate contributions)
+    sub = kept[[ (r["host"], r["bucket_idx"]) in emitted for _, r in kept.iterrows() ]]
+    oracle_counts = sub.groupby(["host", "bucket_idx"]).size()
+    for _, r in got.iterrows():
+        assert r["features"][0] == oracle_counts[(r["group_key"], r["bucket_idx"])]
+    # watermark drop observability
+    assert dropped > 0
+
+
+def test_scoring_stream_matches_batch(spark, stream_dir, tmp_path):
+    from swingstream.operators.features import densify_buckets
+    from swingstream.pipeline import series_from_features, swing_edges
+    from swingstream.streaming.pipeline import FEATURE_SCHEMA, run_feature_query
+    from swingstream.streaming.state import run_scoring_query
+
+    path, _ = stream_dir
+    feat_table, _ = run_feature_query(
+        spark, path, str(tmp_path / "feat2"), str(tmp_path / "ck2"), PARAMS,
+        max_files_per_trigger=2,
+    )
+    edges_table = run_scoring_query(
+        spark, feat_table.data_dir, str(tmp_path / "edges"), str(tmp_path / "ck3"),
+        PARAMS, list(PARAMS.feature_names),
+    )
+    stream_edges = edges_table.read(spark).toPandas()
+    # batch twin over the SAME staged features
+    feats = feat_table.read(spark, FEATURE_SCHEMA)
+    batch_edges = swing_edges(
+        series_from_features(densify_buckets(feats, PARAMS)), PARAMS
+    ).toPandas()
+    key = ["group_key", "win_start", "parent", "child", "lag"]
+    a = stream_edges.sort_values(key).reset_index(drop=True)
+    b = batch_edges.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a[key + ["importance", "win_start_ts"]],
+                                  b[key + ["importance", "win_start_ts"]])
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """Restart from checkpoint: half the files, stop, rest of the files,
+    same checkpoint — final table identical to a single run.
+
+    Fixture has NO late rows: rows near the watermark boundary are
+    best-effort in Spark (their drop/keep depends on batch layout, and a
+    restart resets the one-batch filter lag), so exact resume equality
+    is only guaranteed — and only asserted — for non-late data.  Late-row
+    semantics are pinned by test_feature_query_matches_watermark_oracle."""
+    from swingstream.streaming.pipeline import run_feature_query
+
+    clean = PagesSpec(n_hosts=4, n_buckets=30, base_docs_per_bucket=4,
+                      late_frac=0.0)
+    df = gen_pages(clean)
+    path = str(tmp_path / "clean_stream")
+    write_pages_stream_dir(df, path, n_files=8)
+    # drain sentinels: two staggered far-future rows push the watermark
+    # past every real window AND give the engine a data batch in which
+    # to emit them.  (A restarted availableNow query runs no trailing
+    # no-data batch, and emission lags the watermark by one batch — the
+    # second sentinel's batch is that "one more trigger".  A continuous
+    # deployment doesn't need this; run-to-completion comparison does.)
+    import time
+
+    base_mtime = time.time()
+    for i, mins in enumerate([30, 60]):
+        sent = df.iloc[[0]].copy()
+        sent["url"] = f"https://sentinel.drain/x{i}"
+        sent["warc_ts"] = (
+            df["warc_ts"].max() + pd.Timedelta(minutes=mins)
+        ).floor("us")
+        sent["warc_ts"] = sent["warc_ts"].astype("datetime64[us]")
+        p = os.path.join(path, f"part-999{8 + i}.parquet")
+        sent.drop(columns=["arrival_idx"]).to_parquet(p, index=False)
+        os.utime(p, (base_mtime + 2 * i, base_mtime + 2 * i))
+    files = sorted(os.listdir(path))
+
+    def copy_ordered(names, dest, t0):
+        # strictly increasing mtimes: FileStreamSource replays in mtime
+        # order, and same-granule ties replay arbitrarily
+        for j, f in enumerate(names):
+            shutil.copy(os.path.join(path, f), dest / f)
+            os.utime(dest / f, (t0 + 2 * j, t0 + 2 * j))
+
+    inc = tmp_path / "inc_stream"
+    inc.mkdir()
+    copy_ordered(files[:4], inc, base_mtime + 100)
+    t1, _ = run_feature_query(
+        spark, str(inc), str(tmp_path / "t1"), str(tmp_path / "ckA"), PARAMS, 1
+    )
+    rows_phase1 = t1.total_rows()
+    copy_ordered(files[4:], inc, base_mtime + 200)
+    t1b, _ = run_feature_query(  # same roots => resume from checkpoint
+        spark, str(inc), str(tmp_path / "t1"), str(tmp_path / "ckA"), PARAMS, 1
+    )
+    # one-shot reference
+    ref, _ = run_feature_query(
+        spark, path, str(tmp_path / "ref"), str(tmp_path / "ckB"), PARAMS, 1
+    )
+    a = t1b.read(spark).toPandas()
+    b = ref.read(spark).toPandas()
+    a = a[a["group_key"] != "sentinel.drain"].sort_values(
+        ["group_key", "bucket_idx"]).reset_index(drop=True)
+    b = b[b["group_key"] != "sentinel.drain"].sort_values(
+        ["group_key", "bucket_idx"]).reset_index(drop=True)
+    assert rows_phase1 < len(b), "phase 1 must be a strict prefix"
+    assert len(a) == len(b)
+    for (_, ra), (_, rb) in zip(a.iterrows(), b.iterrows()):
+        assert ra["group_key"] == rb["group_key"]
+        assert ra["bucket_idx"] == rb["bucket_idx"]
+        np.testing.assert_allclose(list(ra["features"]), list(rb["features"]))
+
+
+def test_stream_stream_lagged_join_parity(spark, tmp_path):
+    from swingstream.streaming.join import lagged_pairs_batch, lagged_pairs_stream
+    from swingstream.streaming.pipeline import FEATURE_SCHEMA
+
+    # small deterministic feature table written as two stream files
+    base = int(pd.Timestamp("2026-01-01").timestamp()) // 60  # epoch-0 rows
+    # would be dropped by the initial (epoch-0) watermark
+    rows = []
+    for h in ["a.com", "b.com"]:
+        for i in range(base, base + 20):
+            rows.append(
+                {
+                    "group_key": h,
+                    "bucket_idx": i,
+                    "bucket_ts": pd.Timestamp(i * 60, unit="s"),
+                    "features": [float(i - base), float(i - base) * 0.5],
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    pdf["bucket_ts"] = pdf["bucket_ts"].astype("datetime64[us]")
+    d = tmp_path / "featstream"
+    d.mkdir()
+    # split by TIME (event-time-ordered arrival): a whole-host second
+    # file would arrive behind the watermark and be legitimately dropped
+    early = pdf[pdf["bucket_idx"] < base + 10]
+    late = pdf[pdf["bucket_idx"] >= base + 10]
+    early.to_parquet(d / "f0.parquet", index=False)
+    late.to_parquet(d / "f1.parquet", index=False)
+
+    feats_stream = (
+        spark.readStream.schema(FEATURE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    joined = lagged_pairs_stream(feats_stream, PARAMS)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("lagged_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckJ"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM lagged_pairs").toPandas()
+    feats_batch = spark.createDataFrame(pdf, FEATURE_SCHEMA)
+    want = lagged_pairs_batch(feats_batch, PARAMS).toPandas()
+    key = ["group_key", "bucket_idx", "lag"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = want.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a[key], b[key])
