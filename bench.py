@@ -45,8 +45,11 @@ HEADLINE = [
     "q_emb_neardup",
 ]
 
+# Sized so the pipeline is CPU-bound rather than micro-batch-overhead
+# bound at local[32]: ~3.2M docs => ~800k docs per 4-file trigger, with
+# 128 hosts => >=32-way parallel stateful scoring
 BENCH_STREAM_SPEC = dict(
-    n_hosts=64, n_buckets=240, base_docs_per_bucket=6, hot_factor=8
+    n_hosts=128, n_buckets=360, base_docs_per_bucket=64, hot_factor=8
 )
 
 
@@ -65,7 +68,7 @@ def _bench_stream_dir() -> tuple[str, int]:
     if os.path.exists(root):
         shutil.rmtree(root)
     df = gen_pages(spec)
-    write_pages_stream_dir(df, root, n_files=16)
+    write_pages_stream_dir(df, root, n_files=64)
     with open(meta, "w") as fh:
         json.dump({"n_docs": len(df)}, fh)
     return root, len(df)
@@ -84,7 +87,7 @@ def run_streaming_bench(spark, params) -> dict:
         os.path.join(work, "features"),
         os.path.join(work, "ck_feat"),
         params,
-        max_files_per_trigger=4,
+        max_files_per_trigger=16,
     )
     edges_table = run_scoring_query(
         spark,
@@ -120,7 +123,10 @@ def main() -> None:
     from swingstream.contract import QUERIES
     from swingstream.session import get_spark
 
-    spark = get_spark(master=f"local[{cpus}]", app_name="swingstream-bench")
+    spark = get_spark(master=f"local[{cpus}]", app_name="swingstream-bench", extra_conf={
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+})
     t_all = time.time()
     queries: dict[str, float] = {}
     for name in HEADLINE:
@@ -131,6 +137,7 @@ def main() -> None:
     params = SwingParams(
         window_width=8, step_size=1, min_lag=1, max_lag=3,
         method="lasso", alpha=0.05, watermark="5 minutes", n_salts=8,
+        emit_zero_edges=False, solver_max_iter=150,
     )
     streaming = run_streaming_bench(spark, params)
     queries["streaming_swing_pipeline"] = streaming["wall_sec"]

@@ -36,10 +36,16 @@ class SwingParams:
     max_depth: int = 4             # RF tree depth cap
     n_permutations: int = 0        # permutation-test draws (0 = off)
     n_bootstraps: int = 0          # Lasso bootstrap draws (0 = off)
+    solver_max_iter: int = 400     # FISTA iteration cap (importance fits)
 
     # --- semantics pins (SURVEY.md §2.2 P5, §2.4 A4) --------------------
     self_edges: bool = False       # drop parent==child edges at every lag
     lag_weights: tuple[float, ...] = ()  # per-lag weight; () => all 1.0
+    # sparse emission: drop zero-importance hypotheses at the scorer and
+    # reconstruct their tie-averaged ranks in closed form at aggregation
+    # (rank_edges_sparse) — ~10x fewer edge rows at scale, exactly equal
+    # ranked output.  True = dense (every hypothesis materialized).
+    emit_zero_edges: bool = True
 
     # --- streaming ------------------------------------------------------
     watermark: str = "5 minutes"   # allowed event-time lateness
@@ -50,7 +56,7 @@ class SwingParams:
     feature_names: tuple[str, ...] = field(
         default=(
             "doc_count", "mean_len", "frac_en", "frac_de", "frac_fr",
-            "frac_es", "frac_zz", "mean_tokens", "digit_ratio", "url_diversity",
+            "frac_es", "frac_zz", "mean_tokens", "digit_ratio", "frac_long",
         )
     )
 

@@ -194,6 +194,33 @@ def _make_text(rng: np.random.Generator, lang: str, n_words: int, digit_p: float
     return " ".join(words)
 
 
+def _make_texts_vectorized(
+    rng: np.random.Generator,
+    lang_rows: np.ndarray,
+    n_words: np.ndarray,
+    digit_p: np.ndarray,
+) -> list[str]:
+    """Batch text synthesis — same statistical shape as _make_text but
+    one numpy draw per column instead of one Python call per word
+    (the generator is the bench-fixture bottleneck otherwise).
+    ``lang_rows`` indexes into _LANGS."""
+    n = len(lang_rows)
+    max_w = int(n_words.max())
+    # word table: one row per lang, vocab cycled to a common width
+    vmax = max(len(v) for v in _VOCAB.values())
+    table = np.empty((len(_LANGS), vmax), dtype=object)
+    for li, lg in enumerate(_LANGS):
+        v = _VOCAB[lg]
+        table[li] = (v * ((vmax // len(v)) + 1))[:vmax]
+    word_idx = rng.integers(0, vmax, size=(n, max_w))
+    words = table[np.asarray(lang_rows)[:, None], word_idx]  # (n, max_w)
+    digit_mask = rng.random(size=(n, max_w)) < np.asarray(digit_p)[:, None]
+    digit_vals = rng.integers(0, 10_000, size=(n, max_w))
+    words = np.where(digit_mask, digit_vals.astype(str).astype(object), words)
+    nw = np.asarray(n_words)
+    return [" ".join(words[i, : nw[i]]) for i in range(n)]
+
+
 def gen_pages(spec: PagesSpec = PagesSpec()) -> pd.DataFrame:
     """Pages table in ARRIVAL order: (url, warc_ts, html, text, lang).
 
@@ -203,7 +230,13 @@ def gen_pages(spec: PagesSpec = PagesSpec()) -> pd.DataFrame:
     Arrival order is a deterministic shuffle of event order, with
     ``late_frac`` rows pushed to arrive long after their event time.
     """
-    rows: list[dict] = []
+    c_url: list[str] = []
+    c_ts: list[np.ndarray] = []
+    c_html: list[bytes] = []
+    c_text: list[str] = []
+    c_lang: list[str] = []
+    origin_us = np.datetime64(ORIGIN, "us")
+    lang_names = np.asarray(_LANGS, dtype=object)
     for h_i, host in enumerate(spec.hosts):
         rng = np.random.default_rng(spec.seed * 7_919 + h_i)
         sig = _simulate(spec.net, spec.n_buckets, rng, noise=0.25)
@@ -217,24 +250,39 @@ def gen_pages(spec: PagesSpec = PagesSpec()) -> pd.DataFrame:
             mean_words = 14 + 7 * np.tanh(s[1])
             digit_p = 0.10 + 0.08 * np.tanh(s[8])
             recrawl_p = 0.25 + 0.2 * np.tanh(s[9])
-            bucket_start = ORIGIN + pd.Timedelta(seconds=t * spec.delta_seconds)
-            for d in range(n_docs):
-                lang = _LANGS[int(rng.choice(5, p=lang_p))]
-                n_words = max(2, int(round(rng.normal(mean_words, 2.0))))
-                text = _make_text(rng, lang, n_words, digit_p)
-                if rng.random() < recrawl_p and d > 0:
-                    path = f"p{t}_{int(rng.integers(0, max(d, 1)))}"  # re-crawled url
-                else:
-                    path = f"p{t}_{d}"
-                url = f"https://{host}/{path}"
-                warc_ts = bucket_start + pd.Timedelta(
-                    seconds=float(rng.uniform(0, spec.delta_seconds))
-                )
-                rows.append(
-                    {"url": url, "warc_ts": warc_ts, "html": render(text),
-                     "text": text, "lang": lang}
-                )
-    df = pd.DataFrame(rows)
+            lang_rows = rng.choice(5, size=n_docs, p=lang_p)
+            n_words_arr = np.maximum(
+                2, np.round(rng.normal(mean_words, 2.0, size=n_docs)).astype(int)
+            )
+            texts = _make_texts_vectorized(
+                rng, lang_rows, n_words_arr, np.full(n_docs, digit_p)
+            )
+            recrawl = rng.random(n_docs) < recrawl_p
+            targets = rng.integers(0, np.maximum(np.arange(n_docs), 1))
+            offsets_us = (
+                rng.uniform(0, spec.delta_seconds, size=n_docs) * 1e6
+            ).astype("timedelta64[us]")
+            doc_ids = np.where(recrawl & (np.arange(n_docs) > 0),
+                               targets, np.arange(n_docs))
+            prefix = f"https://{host}/p{t}_"
+            c_url.extend(prefix + str(d) for d in doc_ids)
+            c_ts.append(
+                origin_us
+                + np.timedelta64(t * spec.delta_seconds, "s")
+                + offsets_us
+            )
+            c_html.extend(render(x) for x in texts)
+            c_text.extend(texts)
+            c_lang.extend(lang_names[lang_rows])
+    df = pd.DataFrame(
+        {
+            "url": c_url,
+            "warc_ts": np.concatenate(c_ts),
+            "html": c_html,
+            "text": c_text,
+            "lang": c_lang,
+        }
+    )
     df["warc_ts"] = df["warc_ts"].astype("datetime64[us]")
     rng = np.random.default_rng(spec.seed + 1)
     # exact duplicates (same url + ts + content) — dedup fixture

@@ -37,9 +37,10 @@ def _partials() -> dict[str, Column]:
         "n_zz": F.sum((F.col("lang") == "zz").cast("long")),
         "sum_tokens": F.sum(token_count(F.col("text"))),
         "sum_digit_ratio": F.sum(digit_ratio(F.col("text"))),
-        # count_distinct(url) stays exact under url-hash salting: each
-        # url lands in exactly one salt partition, partial counts sum.
-        "n_urls": F.count_distinct("url"),
+        # fraction of long docs — algebraic (a streaming-state-friendly
+        # feature; DISTINCT-style features need sketches at scale, and
+        # exact distinct-count coverage lives in the contract queries)
+        "n_long": F.sum((token_count(F.col("text")) >= 20).cast("long")),
     }
 
 
@@ -79,7 +80,7 @@ def _finalize(partials: DataFrame, params: SwingParams) -> DataFrame:
         F.col("n_zz") / n,
         F.col("sum_tokens") / n,
         F.col("sum_digit_ratio") / n,
-        F.col("n_urls") / n,
+        F.col("n_long") / n,
     ]
     return partials.select(
         "host",

@@ -46,6 +46,10 @@ from swingstream.models.lasso import (
 from swingstream.models.permutation import permutation_zscores
 from swingstream.models.rf import extra_trees_importance
 
+# marker row emitted for an all-zero window under sparse emission so the
+# rank aggregation still counts the window
+WINDOW_SENTINEL = "__none__"
+
 EDGE_SCHEMA = StructType(
     [
         StructField("group_key", StringType()),
@@ -80,7 +84,7 @@ def fit_design(
     alpha = params.alpha
     if alpha is None:
         alpha = cv_select_alpha(X, y, n_alphas=params.n_alphas)
-    return np.abs(lasso_fista(X, y, alpha))
+    return np.abs(lasso_fista(X, y, alpha, max_iter=params.solver_max_iter))
 
 
 def score_design(
@@ -118,7 +122,9 @@ def score_design(
         and p.n_permutations == 0
         and p.n_bootstraps == 0
     ):
-        multi_imp = np.abs(lasso_fista_multi(X, Y, p.alpha))  # (p, G)
+        multi_imp = np.abs(
+            lasso_fista_multi(X, Y, p.alpha, max_iter=p.solver_max_iter)
+        )  # (p, G)
 
     imp_rows, z_rows, p_rows, s_rows, child_rows, masks = [], [], [], [], [], []
     for j in range(G):
@@ -153,7 +159,7 @@ def score_design(
     opt = lambda rows: np.concatenate(
         [r if r is not None else np.full(n, np.nan) for r, n in zip(rows, child_rows)]
     )
-    return {
+    out = {
         "group_key": np.full(n_total, group_key, dtype=object),
         "win_start": np.full(n_total, win_start, dtype=np.int64),
         "win_start_ts": [win_start_ts] * n_total,
@@ -167,6 +173,17 @@ def score_design(
         "p_value": opt(p_rows),
         "stability": opt(s_rows),
     }
+    if not p.emit_zero_edges:
+        keep = out["importance"] != 0.0
+        if not keep.any():
+            # window sentinel: rank_edges_sparse still needs to know this
+            # window existed (its implicit zeros contribute to mean ranks)
+            keep[:1] = True
+            out["parent"][0] = WINDOW_SENTINEL
+            out["child"][0] = WINDOW_SENTINEL
+        out = {k: (v[keep] if isinstance(v, np.ndarray) else
+                   [x for x, kk in zip(v, keep) if kk]) for k, v in out.items()}
+    return out
 
 
 def make_fit_fn(

@@ -34,6 +34,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # INT96 (the legacy default) carries no parquet min/max stats —
+        # the sink's per-partition event-time lineage reads footer stats
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
         .config("spark.databricks.delta.snapshotPartitions", "1")  # no-op w/o delta
         .config("spark.ui.enabled", "false")

@@ -81,7 +81,10 @@ class IcebergLiteTable:
         if self.committed(batch_id):
             return None
         if n_files is not None:
-            df = df.coalesce(n_files)
+            # repartition, NOT coalesce: coalesce(1) would collapse the
+            # whole upstream computation into a single task; repartition
+            # keeps it parallel and only funnels the (small) result rows
+            df = df.repartition(n_files)
 
         stage = os.path.join(self.tmp_dir, f"stage-{batch_id}-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(stage)
@@ -106,20 +109,30 @@ class IcebergLiteTable:
 
         metrics: dict = {"rows": sum(e["rows"] for e in lineage)}
         if event_time_col is not None and metrics["rows"] > 0:
-            agg = None
+            # min/max event time from parquet FOOTER statistics — free,
+            # no data scan (the committed files were just written with
+            # stats enabled)
+            lo = hi = None
             try:
-                import duckdb  # cheap local min/max over the committed files
-
-                con = duckdb.connect()
-                agg = con.sql(
-                    f"SELECT CAST(MIN({event_time_col}) AS VARCHAR), "
-                    f"CAST(MAX({event_time_col}) AS VARCHAR) "
-                    f"FROM read_parquet('{final_dir}/*.parquet')"
-                ).fetchone()
+                for f in os.listdir(final_dir):
+                    if not f.endswith(".parquet"):
+                        continue
+                    md = pq.read_metadata(os.path.join(final_dir, f))
+                    names = md.schema.to_arrow_schema().names
+                    if event_time_col not in names:
+                        break
+                    ci = names.index(event_time_col)
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
             except Exception:
-                agg = None
-            if agg is not None:
-                metrics["min_event_time"], metrics["max_event_time"] = agg
+                lo = hi = None
+            if lo is not None:
+                metrics["min_event_time"] = str(lo)
+                metrics["max_event_time"] = str(hi)
         if extra_metrics:
             metrics.update(extra_metrics)
 

@@ -39,10 +39,25 @@ FEATURE_SCHEMA = StructType(
 
 
 def feature_partials_stream(pages: DataFrame, params: SwingParams) -> DataFrame:
-    """watermark → dedup-within-watermark → salted windowed partial agg."""
+    """extract (P6) → watermark → dedup-within-watermark → salted
+    windowed partial agg.
+
+    The html→text extraction (the per-row invariant operator) runs as an
+    Arrow-vectorized UDF NARROW on the scan side, and the html binary is
+    dropped before the first shuffle — §4.3 pin #4: the heavy payload
+    column must never enter a stateful operator's exchange.
+    """
+    from swingstream.extract import extract_udf
+
     d = params.delta_seconds
+    extracted = pages.select(
+        "url",
+        "warc_ts",
+        extract_udf(F.col("html")).alias("text"),
+        "lang",
+    )
     deduped = (
-        pages.withWatermark("warc_ts", params.watermark)
+        extracted.withWatermark("warc_ts", params.watermark)
         .dropDuplicatesWithinWatermark(["url", "warc_ts"])  # T8 exactly-once rows
     )
     rows = deduped.select(
@@ -53,34 +68,23 @@ def feature_partials_stream(pages: DataFrame, params: SwingParams) -> DataFrame:
         "lang",
         F.pmod(F.xxhash64("url"), F.lit(params.n_salts)).alias("salt"),
     )
-    # streaming variant of the partials: DISTINCT aggregation is not
-    # allowed on streams, so distinct-url counting rides on collect_set
-    # (exact, algebraic across salts — each url hashes to one salt).
-    # At 10^12 scale this column becomes an HLL sketch; the combine
-    # contract (union then count) is identical.
-    parts = {k: a for k, a in _partials().items() if k != "n_urls"}
-    parts["url_set"] = F.collect_set("url")
+    # every partial is a plain sum/count => exact algebraic combine
+    # across salts and a small fixed-size aggregation state per key
     return rows.groupBy(
         "host", F.window("warc_ts", f"{d} seconds").alias("win"), "salt"
-    ).agg(*[a.alias(k) for k, a in parts.items()])
+    ).agg(*[a.alias(k) for k, a in _partials().items()])
 
 
 def combine_partials(batch_df: DataFrame, params: SwingParams) -> DataFrame:
     """Salt-combine one emitted micro-batch into final feature rows."""
     d = params.delta_seconds
-    sums = [F.sum(k).alias(k) for k in _partials() if k != "n_urls"]
     merged = (
         batch_df.withColumn(
             "bucket_idx",
             (F.unix_timestamp(F.col("win.start")) / d).cast("long"),
         )
         .groupBy("host", "bucket_idx")
-        .agg(
-            *sums,
-            F.size(F.array_distinct(F.flatten(F.collect_list("url_set"))))
-            .cast("long")
-            .alias("n_urls"),
-        )
+        .agg(*[F.sum(k).alias(k) for k in _partials()])
     )
     return (
         _finalize(merged, params)

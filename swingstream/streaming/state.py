@@ -140,8 +140,10 @@ def make_state_fn(params: SwingParams, names: list[str]):
             keep = [(i, f) for i, f in zip(idx, feats) if i >= keep_from]
             idx, feats = [i for i, _ in keep], [f for _, f in keep]
         state.update((idx, feats, max_emitted))
-        for rows in scored:
-            yield pd.DataFrame(rows)
+        if scored:
+            # one Arrow batch per (host, micro-batch), not per window —
+            # per-yield serialization overhead dominates otherwise
+            yield pd.concat([pd.DataFrame(r) for r in scored], ignore_index=True)
 
     return fn
 

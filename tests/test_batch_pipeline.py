@@ -42,7 +42,9 @@ def test_features_match_pandas_oracle(spark, spark_pages, pages_df):
             "n": g.size(),
             "mean_len": g["text"].apply(lambda s: s.str.len().mean()),
             "frac_en": g["lang"].apply(lambda s: (s == "en").mean()),
-            "n_urls": g["url"].nunique(),
+            "frac_long": g["text"].apply(
+                lambda s: (s.str.split().str.len() >= 20).mean()
+            ),
         }
     ).reset_index()
     got = feats.set_index(["group_key", "bucket_idx"])
@@ -51,7 +53,7 @@ def test_features_match_pandas_oracle(spark, spark_pages, pages_df):
         assert f[0] == row["n"]
         assert abs(f[1] - row["mean_len"]) < 1e-9
         assert abs(f[2] - row["frac_en"]) < 1e-9
-        assert abs(f[9] - row["n_urls"] / row["n"]) < 1e-9
+        assert abs(f[9] - row["frac_long"]) < 1e-9
 
 
 def test_salted_equals_unsalted(spark, spark_pages):
