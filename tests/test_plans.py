@@ -1,0 +1,81 @@
+"""Physical-plan guardrails (SURVEY.md §4.2): pushdown, pruning,
+broadcast joins, codegen — the properties that make the plan survive a
+100x scale-up, asserted so they can't regress silently."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from swingstream.config import SwingParams
+from swingstream.plans.explain import (
+    codegen_stage_count,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+
+SF = os.environ.get("SWINGSTREAM_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_q01_pushdown_and_pruning(spark):
+    from swingstream.contract import q01_pricing_summary
+
+    df = q01_pricing_summary(spark, SF)
+    assert "l_shipdate" in pushed_filters(df), "shipdate filter must reach the scan"
+    cols = read_schema_columns(df)
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, (
+        f"unused columns not pruned: {cols}"
+    )
+    # whole pipeline stays JVM-side: no Python eval nodes in the plan
+    from swingstream.plans.explain import explain_str
+
+    assert "Python" not in explain_str(df, "simple")
+
+
+def test_q05_broadcasts_dimensions(spark):
+    from swingstream.contract import q05_region_volume
+
+    assert has_broadcast_join(q05_region_volume(spark, SF))
+
+
+def test_feature_scan_prunes_html(spark, tmp_path, pages_df):
+    """§4.3 pin #4: the html binary must never reach the feature scan
+    when text is already materialized (batch path reads text, not html)."""
+    from swingstream.operators.features import host_bucket_features
+    from swingstream.sources.pages import read_pages
+
+    p = str(tmp_path / "pages")
+    pages_df.drop(columns=["arrival_idx"]).to_parquet(p + ".parquet", index=False)
+    os.makedirs(p)
+    os.replace(p + ".parquet", p + "/part-0.parquet")
+    pages = read_pages(spark, p)
+    feats = host_bucket_features(pages, SwingParams())
+    cols = read_schema_columns(feats)
+    assert "html" not in cols, f"html must be pruned from the scan: {cols}"
+
+
+def test_gold_join_broadcasts(spark):
+    from swingstream.fixtures import gen_series, plant_network
+    from swingstream.operators.evaluate import label_edges
+    from swingstream.pipeline import series_from_wide, swing_batch
+
+    net = plant_network(n_features=4, n_edges=3, seed=5)
+    wide, _ = gen_series(n_features=4, n_buckets=12, n_replicates=2, seed=5, net=net)
+    names = [f"g{i}" for i in range(1, 5)]
+    ranked = swing_batch(
+        spark.createDataFrame(wide).transform(
+            lambda d: __import__("swingstream.pipeline", fromlist=["x"]).series_from_wide(d, names)
+        ),
+        SwingParams(window_width=6, min_lag=1, max_lag=2, alpha=0.1),
+        feature_names=tuple(names),
+    )
+    gold = spark.createDataFrame(net.gold_edges(names))
+    assert has_broadcast_join(label_edges(ranked, gold))
+
+
+def test_lineitem_projection_prunes(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_quantity")
+    cols = read_schema_columns(df)
+    assert cols == ["l_quantity"], cols
