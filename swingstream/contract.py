@@ -956,6 +956,94 @@ def q_pages_features(spark, sf):
     ).orderBy("group_key", "bucket_idx")
 
 
+
+
+def q_roc_curve(spark, sf):
+    """A7/W3: cumulative ROC points via window functions — ranked list =
+    parts by retailprice desc, positives = p_size >= 25."""
+    _prep(spark)
+    p = _t(spark, sf, "part")
+    labeled = p.select(
+        "p_partkey",
+        "p_retailprice",
+        (F.col("p_size") >= 25).cast("int").alias("label"),
+    )
+    order = Window.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals = labeled.agg(
+        F.sum("label").alias("P"), F.sum(1 - F.col("label")).alias("N")
+    )
+    return (
+        labeled.withColumn("tp", F.sum("label").over(cum).cast("long"))
+        .withColumn("fp", F.sum(1 - F.col("label")).over(cum).cast("long"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "p_partkey",
+            "tp",
+            "fp",
+            F.round(F.col("tp") / F.col("P"), 6).alias("tpr"),
+            F.round(F.col("fp") / F.col("N"), 6).alias("fpr"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+SQL_ROC_CURVE = """
+WITH labeled AS (
+  SELECT p_partkey, p_retailprice,
+         CAST(p_size >= 25 AS INT) AS label
+  FROM part),
+cum AS (
+  SELECT p_partkey,
+         CAST(SUM(label) OVER w AS BIGINT) AS tp,
+         CAST(SUM(1 - label) OVER w AS BIGINT) AS fp
+  FROM labeled
+  WINDOW w AS (ORDER BY p_retailprice DESC, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (SELECT SUM(label) AS P, SUM(1 - label) AS N FROM labeled)
+SELECT p_partkey, tp, fp,
+       ROUND(tp / P, 6) AS tpr, ROUND(fp / N, 6) AS fpr
+FROM cum CROSS JOIN tot
+ORDER BY p_partkey
+"""
+
+
+def q_swing_rf(spark, sf):
+    """SWING-RF edge scoring on the DREAM4-style fixture (rows-only)."""
+    _prep(spark)
+    from swingstream.pipeline import swing_batch
+
+    series, names, _ = _fixture_series(spark)
+    params = SwingParams(window_width=12, min_lag=1, max_lag=2, method="rf",
+                         n_trees=30, step_size=2)
+    return swing_batch(series, params, feature_names=tuple(names))
+
+
+def q_swing_plsr(spark, sf):
+    """SWING-PLSR (Dionesus-style VIP scoring) ranked edges (rows-only)."""
+    _prep(spark)
+    from swingstream.pipeline import swing_batch
+
+    series, names, _ = _fixture_series(spark)
+    params = SwingParams(window_width=12, min_lag=1, max_lag=2, method="plsr",
+                         step_size=2)
+    return swing_batch(series, params, feature_names=tuple(names))
+
+
+def q_swing_permutation(spark, sf):
+    """Permutation z-scores + bootstrap stability columns (rows-only;
+    tiny config — the resampling loops run inside the grouped-map UDF)."""
+    _prep(spark)
+    from swingstream.pipeline import swing_edges
+
+    series, names, _ = _fixture_series(spark)
+    params = SwingParams(window_width=16, min_lag=1, max_lag=1, method="lasso",
+                         alpha=0.1, step_size=4, n_permutations=5, n_bootstraps=5)
+    return swing_edges(series, params, feature_names=tuple(names)).where(
+        F.col("p_value").isNotNull()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -998,6 +1086,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_emb_ann_lsh": q_emb_ann_lsh,
     "q_media_features": q_media_features,
     "q_swing_edges": q_swing_edges,
+    "q_swing_rf": q_swing_rf,
+    "q_swing_plsr": q_swing_plsr,
+    "q_swing_permutation": q_swing_permutation,
+    "q_roc_curve": q_roc_curve,
     "q_swing_ranked": q_swing_ranked,
     "q_pages_features": q_pages_features,
 }
@@ -1035,4 +1127,5 @@ ORACLES: dict[str, str] = {
     "q_docs_ngram_jaccard": SQL_NGRAM_JACCARD,
     "q_emb_topk": SQL_EMB_TOPK,
     "q_emb_neardup": SQL_EMB_NEARDUP,
+    "q_roc_curve": SQL_ROC_CURVE,
 }

@@ -81,6 +81,10 @@ def fit_design(
         return extra_trees_importance(
             X, y, n_trees=params.n_trees, max_depth=params.max_depth, seed=seed
         )
+    if params.method == "plsr":
+        from swingstream.models.plsr import plsr_vip
+
+        return plsr_vip(X, y)
     alpha = params.alpha
     if alpha is None:
         alpha = cv_select_alpha(X, y, n_alphas=params.n_alphas)

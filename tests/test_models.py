@@ -86,3 +86,16 @@ def test_permutation_pvalues():
 def test_normal_sf():
     assert abs(normal_sf(np.array([0.0]))[0] - 0.5) < 1e-12
     assert abs(normal_sf(np.array([1.96]))[0] - 0.0249979) < 1e-4
+
+
+def test_plsr_vip_ranks_signal():
+    from swingstream.models.plsr import plsr_vip
+
+    X, y = _toy(n=200)
+    vip = plsr_vip(X, y, n_components=3)
+    assert vip[0] == vip.max()
+    assert vip[2] > np.delete(vip, [0, 2]).max()
+    # determinism
+    assert np.array_equal(vip, plsr_vip(X, y, n_components=3))
+    # degenerate target
+    assert np.allclose(plsr_vip(X, np.zeros(len(y))), 0.0)
