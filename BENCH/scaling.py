@@ -42,13 +42,13 @@ sys.path.insert(0, {repo!r})
 from swingstream.session import get_spark
 from swingstream.config import SwingParams
 from bench import _bench_stream_dir
-from swingstream.streaming.pipeline import run_feature_query
-from swingstream.streaming.state import run_scoring_query
+from swingstream.streaming.state import run_pipeline_concurrent
 
 cpus = int(sys.argv[1])
 spark = get_spark(master=f"local[{{cpus}}]", app_name=f"swingstream-scaling-{{cpus}}", extra_conf={{
     "spark.sql.streaming.stateStore.providerClass":
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
 }})
 params = SwingParams(window_width=8, step_size=1, min_lag=1, max_lag=3,
                      method="lasso", alpha=0.05, watermark="5 minutes", n_salts=8,
@@ -60,18 +60,15 @@ stream_dir, n_docs = _bench_stream_dir()
 shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
 work = tempfile.mkdtemp(prefix=f"swingstream-scaling-{{cpus}}-", dir=shm)
 t0 = time.time()
-ft, dropped = run_feature_query(spark, stream_dir, work + "/f", work + "/ckf",
-                                params, max_files_per_trigger=16)
-t1 = time.time()
-et = run_scoring_query(spark, ft.data_dir, work + "/e", work + "/cke",
-                       params, list(params.feature_names))
+ft, et = run_pipeline_concurrent(spark, stream_dir, work, params,
+                                 list(params.feature_names),
+                                 feature_files_per_trigger=16)
 t2 = time.time()
 import shutil as _sh
 edge_rows = et.total_rows()
 _sh.rmtree(work, ignore_errors=True)
 print("RESULT " + json.dumps({{
     "cpus": cpus, "docs": n_docs,
-    "feature_sec": round(t1 - t0, 2), "scoring_sec": round(t2 - t1, 2),
     "wall_sec": round(t2 - t0, 2),
     "docs_per_sec": round(n_docs / (t2 - t0), 1),
     "edge_rows": edge_rows,
@@ -79,23 +76,25 @@ print("RESULT " + json.dumps({{
 """
 
 
+def _burn(_):
+    """Raw CPU burn worker (module-level: multiprocessing must pickle it)."""
+    import hashlib
+    import time as _time
+
+    h = b"x" * 1000
+    t0 = _time.time()
+    c = 0
+    while _time.time() - t0 < 4.0:
+        for _ in range(200):
+            h = hashlib.blake2b(h, digest_size=64).digest()
+        c += 200
+    return c
+
+
 def cpu_calibration(levels) -> dict:
     """Raw multiprocessing hash-burn throughput per worker count — the
     hardware's own scaling ceiling, recorded with every measurement."""
     import multiprocessing as mp
-
-    def _burn(_):
-        import hashlib
-        import time as _time
-
-        h = b"x" * 1000
-        t0 = _time.time()
-        c = 0
-        while _time.time() - t0 < 4.0:
-            for _ in range(200):
-                h = hashlib.blake2b(h, digest_size=64).digest()
-            c += 200
-        return c
 
     out = {}
     for w in levels:

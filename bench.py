@@ -75,27 +75,15 @@ def _bench_stream_dir() -> tuple[str, int]:
 
 
 def run_streaming_bench(spark, params) -> dict:
-    from swingstream.streaming.pipeline import run_feature_query
-    from swingstream.streaming.state import run_scoring_query
+    from swingstream.streaming.state import run_pipeline_concurrent
 
     stream_dir, n_docs = _bench_stream_dir()
-    work = tempfile.mkdtemp(prefix="swingstream-bench-run-")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="swingstream-bench-run-", dir=shm)
     t0 = time.time()
-    feat_table, dropped = run_feature_query(
-        spark,
-        stream_dir,
-        os.path.join(work, "features"),
-        os.path.join(work, "ck_feat"),
-        params,
-        max_files_per_trigger=16,
-    )
-    edges_table = run_scoring_query(
-        spark,
-        feat_table.data_dir,
-        os.path.join(work, "edges"),
-        os.path.join(work, "ck_edges"),
-        params,
-        list(params.feature_names),
+    feat_table, edges_table = run_pipeline_concurrent(
+        spark, stream_dir, work, params, list(params.feature_names),
+        feature_files_per_trigger=16,
     )
     wall = time.time() - t0
     out = {
@@ -104,7 +92,6 @@ def run_streaming_bench(spark, params) -> dict:
         "docs_per_sec": round(n_docs / wall, 1),
         "feature_rows": feat_table.total_rows(),
         "edge_rows": edges_table.total_rows(),
-        "late_dropped": dropped,
     }
     shutil.rmtree(work, ignore_errors=True)
     return out
@@ -126,6 +113,7 @@ def main() -> None:
     spark = get_spark(master=f"local[{cpus}]", app_name="swingstream-bench", extra_conf={
     "spark.sql.streaming.stateStore.providerClass":
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
 })
     t_all = time.time()
     queries: dict[str, float] = {}

@@ -55,6 +55,11 @@ def feature_partials_stream(pages: DataFrame, params: SwingParams) -> DataFrame:
         "warc_ts",
         extract_udf(F.col("html")).alias("text"),
         "lang",
+    ).observe(
+        "pages_in",  # T7 observability: per-batch input volume + event-time
+        F.count(F.lit(1)).alias("rows"),
+        F.min("warc_ts").alias("min_ts"),
+        F.max("warc_ts").alias("max_ts"),
     )
     deduped = (
         extracted.withWatermark("warc_ts", params.watermark)
@@ -115,6 +120,9 @@ def run_feature_query(
 
     Returns (IcebergLiteTable, total rows dropped by watermark).
     """
+    import json as _json
+    import os as _os
+
     table = IcebergLiteTable(table_root)
     pages = read_pages_stream(spark, pages_path, max_files_per_trigger)
     partials = feature_partials_stream(pages, params)
@@ -135,13 +143,30 @@ def run_feature_query(
         .start()
     )
     q.awaitTermination()
+    # T7 observability sidecars: per-batch observed input metrics +
+    # watermark-drop counts, written next to the commit manifests
+    # (observe() reports at batch completion, after the sink commit —
+    # a sidecar keeps manifests immutable)
     for p in q.recentProgress:
-        d = p.json if hasattr(p, "json") else None
         try:
-            import json as _json
-
-            for op in _json.loads(d)["stateOperators"] if d else []:
-                dropped += op.get("numRowsDroppedByWatermark", 0)
+            j = _json.loads(p.json)
         except Exception:
-            pass
+            continue
+        for op in j.get("stateOperators", []):
+            dropped += op.get("numRowsDroppedByWatermark", 0)
+        om = j.get("observedMetrics", {}).get("pages_in")
+        side = {
+            "batch_id": j["batchId"],
+            "input_rows": j.get("numInputRows"),
+            "observed": om,
+            "rows_dropped_by_watermark": sum(
+                op.get("numRowsDroppedByWatermark", 0)
+                for op in j.get("stateOperators", [])
+            ),
+        }
+        sp = _os.path.join(table.manifest_dir, f"observed-{j['batchId']}.json")
+        if not _os.path.exists(sp):
+            with open(sp + ".tmp", "w") as fh:
+                _json.dump(side, fh, indent=1)
+            _os.replace(sp + ".tmp", sp)
     return table, dropped

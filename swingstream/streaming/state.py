@@ -161,6 +161,49 @@ def score_stream(
     )
 
 
+def start_scoring_query(
+    spark,
+    staging_data_dir: str,
+    out_root: str,
+    checkpoint: str,
+    params: SwingParams,
+    names: list[str],
+    *,
+    available_now: bool = True,
+    max_files_per_trigger: int = 4,
+):
+    """Start query 2 over the staged feature files; returns (query, table).
+
+    available_now=False starts a continuous micro-batch trigger — the
+    production topology where query 2 tails query 1's commits live.
+    """
+    from swingstream.sources.catalog import IcebergLiteTable
+    from swingstream.streaming.pipeline import FEATURE_SCHEMA
+
+    table = IcebergLiteTable(out_root)
+    feats = (
+        spark.readStream.schema(FEATURE_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(staging_data_dir)
+    )
+    edges = score_stream(feats, params, names)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.commit(batch_id, batch_df, "win_start_ts")
+
+    writer = (
+        edges.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start(), table
+
+
 def run_scoring_query(
     spark,
     staging_data_dir: str,
@@ -170,27 +213,62 @@ def run_scoring_query(
     names: list[str],
 ):
     """Run query 2 to completion over the staged feature files."""
-    from swingstream.sources.catalog import IcebergLiteTable
-    from swingstream.streaming.pipeline import FEATURE_SCHEMA
-
-    table = IcebergLiteTable(out_root)
-    feats = (
-        spark.readStream.schema(FEATURE_SCHEMA)
-        .option("recursiveFileLookup", "true")
-        .option("maxFilesPerTrigger", "4")
-        .parquet(staging_data_dir)
-    )
-    edges = score_stream(feats, params, names)
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        table.commit(batch_id, batch_df, "win_start_ts")
-
-    q = (
-        edges.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    q, table = start_scoring_query(
+        spark, staging_data_dir, out_root, checkpoint, params, names
     )
     q.awaitTermination()
     return table
+
+
+def run_pipeline_concurrent(
+    spark,
+    pages_path: str,
+    work_root: str,
+    params: SwingParams,
+    names: list[str],
+    *,
+    feature_files_per_trigger: int = 16,
+):
+    """Production topology: query 1 (features) and query 2 (scoring) run
+    CONCURRENTLY — query 2 tails query 1's commits as they land, so the
+    stateful scoring overlaps the feature aggregation instead of waiting
+    for the whole staging table.  Returns (feature_table, edges_table).
+    """
+    import os
+
+    from swingstream.streaming.pipeline import (
+        combine_partials,
+        feature_partials_stream,
+    )
+    from swingstream.sources.catalog import IcebergLiteTable
+    from swingstream.sources.pages import read_pages_stream
+
+    feat_table = IcebergLiteTable(os.path.join(work_root, "features"))
+    pages = read_pages_stream(spark, pages_path, feature_files_per_trigger)
+    partials = feature_partials_stream(pages, params)
+
+    def feat_sink(batch_df: DataFrame, batch_id: int) -> None:
+        feat_table.commit(batch_id, combine_partials(batch_df, params),
+                          "bucket_ts", n_files=1)
+
+    q1 = (
+        partials.writeStream.foreachBatch(feat_sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work_root, "ck_feat"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2, edges_table = start_scoring_query(
+        spark,
+        feat_table.data_dir,
+        os.path.join(work_root, "edges"),
+        os.path.join(work_root, "ck_edges"),
+        params,
+        names,
+        available_now=False,
+    )
+    q1.awaitTermination()
+    q2.processAllAvailable()  # drain everything query 1 committed
+    q2.stop()
+    q2.awaitTermination()
+    return feat_table, edges_table

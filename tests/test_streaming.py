@@ -123,8 +123,12 @@ def test_feature_query_matches_watermark_oracle(spark, stream_dir, tmp_path):
     oracle_counts = sub.groupby(["host", "bucket_idx"]).size()
     for _, r in got.iterrows():
         assert r["features"][0] == oracle_counts[(r["group_key"], r["bucket_idx"])]
-    # watermark drop observability
+    # watermark drop observability + per-batch observed-metrics sidecars
     assert dropped > 0
+    sidecars = [
+        f for f in os.listdir(table.manifest_dir) if f.startswith("observed-")
+    ]
+    assert sidecars, "observe() sidecar metrics must be recorded"
 
 
 def test_scoring_stream_matches_batch(spark, stream_dir, tmp_path):
