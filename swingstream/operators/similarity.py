@@ -123,6 +123,79 @@ def lsh_ann_topk(
     )
 
 
+def neardup_pairs_blas(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via Arrow + numpy matmul.
+
+    The BLAS-backed bulk kernel: the comparison side is collected,
+    L2-normalized and broadcast; each Arrow batch of rows does one
+    matrix multiply against it.  Interpreted higher-order-function
+    expressions cost ~ms per pair; this is the per-bucket kernel an
+    IVF/LSH partitioning calls at 10^9-vector scale (the broadcast side
+    is then one bucket, never the full corpus).  ``neardup_pairs_cosine``
+    remains the expression-only, oracle-exact form.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rows = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    import numpy as np
+
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    V = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    norms = np.where(norms > 0, norms, 1.0)
+    Vn = V / norms[:, None]
+    spark = vectors.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_vn = spark.sparkContext.broadcast(Vn)
+
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        cand_ids, cand_vn = b_ids.value, b_vn.value
+        for pdf in it:
+            rid = pdf["id"].to_numpy(dtype=_np.int64)
+            R = _np.array([list(v) for v in pdf["v"]], dtype=_np.float64)
+            rn = _np.linalg.norm(R, axis=1)
+            rn = _np.where(rn > 0, rn, 1.0)
+            sims = (R / rn[:, None]) @ cand_vn.T
+            ia, ib = _np.nonzero(sims >= threshold)
+            mask = rid[ia] < cand_ids[ib]  # id_a < id_b, no self pairs
+            yield pd.DataFrame(
+                {
+                    "id_a": rid[ia][mask],
+                    "id_b": cand_ids[ib][mask],
+                    "cos": _np.round(sims[ia, ib][mask], 9),
+                }
+            )
+
+    return (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .mapInPandas(blocks, schema)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def neardup_pairs_cosine(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -92,3 +92,21 @@ def test_entry_smoke(spark):
     pdf = out.toPandas()
     assert len(pdf) > 0
     assert {"parent", "child", "mean_rank"} <= set(pdf.columns)
+
+
+def test_neardup_blas_matches_hof(spark):
+    """BLAS bulk kernel == expression-only oracle form."""
+    from swingstream.operators.similarity import (
+        neardup_pairs_blas,
+        neardup_pairs_cosine,
+    )
+
+    v = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = neardup_pairs_blas(v, threshold=0.3).toPandas()
+    b = neardup_pairs_cosine(v, threshold=0.3).toPandas()
+    assert len(a) == len(b) and len(a) > 0
+    import numpy as np
+
+    assert (a["id_a"].to_numpy() == b["id_a"].to_numpy()).all()
+    assert (a["id_b"].to_numpy() == b["id_b"].to_numpy()).all()
+    np.testing.assert_allclose(a["cos"], b["cos"], atol=2e-9)
