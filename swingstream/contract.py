@@ -639,8 +639,11 @@ FROM (
          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM (
+    -- '>=', not '>': Spark's session_window is end-exclusive — an event
+    -- arriving exactly `gap` after the previous one starts a NEW session
+    -- (batch asof.sessionize's '>' is a separately pinned semantics)
     SELECT user_id, ts,
-           CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+           CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_sess
     FROM (SELECT user_id, ts,
                  LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
@@ -901,7 +904,37 @@ def q_media_features(spark, sf):
     )
 
     d = _t(spark, sf, "documents")
-    return extract_media_features(media_from_documents(d)).orderBy("media_id")
+    feats = extract_media_features(media_from_documents(d))
+    # feature_vec serialized to a string key: the driver canonicalizes by
+    # sorting every column and pandas cannot factorize list cells.  The
+    # fake features are exact multiples of 1e-4, so scaling to int64
+    # loses nothing.
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "checksum",
+        _fr6(F.col("byte_entropy")).alias("byte_entropy"),
+        F.concat_ws(
+            ",", F.transform("feature_vec", lambda x: F.round(x * 10000).cast("long"))
+        ).alias("feature_key"),
+    ).orderBy("media_id")
+
+
+def q_media_meta(spark, sf):
+    """Oracle-backed slice of the multimodal plumbing: the full
+    mapInPandas feature extraction runs; the projected metadata columns
+    are recomputable in SQL (n_bytes = utf-8 byte length of the payload
+    the media table derives from text)."""
+    _prep(spark)
+    from swingstream.operators.multimodal import (
+        extract_media_features,
+        media_from_documents,
+    )
+
+    d = _t(spark, sf, "documents")
+    feats = extract_media_features(media_from_documents(d))
+    return feats.select("media_id", "kind", "n_bytes").orderBy("media_id")
 
 
 def _fixture_series(spark):
@@ -956,6 +989,47 @@ def q_pages_features(spark, sf):
     ).orderBy("group_key", "bucket_idx")
 
 
+
+
+SQL_MEDIA_META = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents ORDER BY media_id
+"""
+
+
+def q_na_drop(spark, sf):
+    """P2 as a first-class operator: derive nullable lag/lead columns,
+    then DataFrame.na.drop (via operators.cleaning.drop_incomplete) —
+    the reference's raw_data.dropna() on load."""
+    _prep(spark)
+    from swingstream.operators.cleaning import drop_incomplete
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    derived = (
+        e.withColumn("prev_value", F.lag("value", 1).over(w))
+        .withColumn("next_type", F.lead("event_type", 1).over(w))
+        .select("event_id", "user_id", "prev_value", "next_type")
+    )
+    return drop_incomplete(derived, subset=["prev_value", "next_type"]).orderBy(
+        "event_id"
+    )
+
+
+SQL_NA_DROP = """
+SELECT event_id, user_id, prev_value, next_type FROM (
+  SELECT event_id, user_id,
+         LAG(value, 1) OVER w AS prev_value,
+         LEAD(event_type, 1) OVER w AS next_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+WHERE prev_value IS NOT NULL AND next_type IS NOT NULL
+ORDER BY event_id
+"""
 
 
 def q_roc_curve(spark, sf):
@@ -1085,6 +1159,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_docs_simhash": q_docs_simhash,
     "q_emb_ann_lsh": q_emb_ann_lsh,
     "q_media_features": q_media_features,
+    "q_media_meta": q_media_meta,
+    "q_na_drop": q_na_drop,
     "q_swing_edges": q_swing_edges,
     "q_swing_rf": q_swing_rf,
     "q_swing_plsr": q_swing_plsr,
@@ -1127,5 +1203,7 @@ ORACLES: dict[str, str] = {
     "q_docs_ngram_jaccard": SQL_NGRAM_JACCARD,
     "q_emb_topk": SQL_EMB_TOPK,
     "q_emb_neardup": SQL_EMB_NEARDUP,
+    "q_media_meta": SQL_MEDIA_META,
+    "q_na_drop": SQL_NA_DROP,
     "q_roc_curve": SQL_ROC_CURVE,
 }

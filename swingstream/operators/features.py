@@ -94,6 +94,12 @@ def host_bucket_features(
     pages: DataFrame, params: SwingParams, *, salted: bool = False, dedup: bool = True
 ) -> DataFrame:
     """(host, bucket_idx, bucket_ts, features: array<double>[G])."""
+    from swingstream.operators.cleaning import drop_incomplete
+
+    # P2 (reference: raw_data.dropna() at load): rows missing the key,
+    # event time, or payload cannot be bucketed — IsNotNull filters that
+    # push down to the scan
+    pages = drop_incomplete(pages, subset=["url", "warc_ts", "text"])
     if dedup:
         pages = deduplicate_pages(pages)
     rows = pages_to_bucketed(pages, params)

@@ -78,7 +78,11 @@ def rank_edges(edges: DataFrame, params: SwingParams) -> DataFrame:
     return aggregate_ranks(rank_within_windows(collapse_lags(edges, params), params))
 
 
-def rank_edges_sparse(edges: DataFrame, params: SwingParams) -> DataFrame:
+def rank_edges_sparse(
+    edges: DataFrame,
+    params: SwingParams,
+    feature_names: tuple[str, ...] | None = None,
+) -> DataFrame:
     """A4 over SPARSELY-emitted edges (emit_zero_edges=False): identical
     output to ``rank_edges`` over the dense table, reconstructed in
     closed form.
@@ -129,7 +133,7 @@ def rank_edges_sparse(edges: DataFrame, params: SwingParams) -> DataFrame:
     # never nonzero still carry the all-implicit-zero mean rank
     spark = edges.sparkSession
     names_df = spark.createDataFrame(
-        [(n,) for n in params.feature_names], ["name"]
+        [(n,) for n in (feature_names or params.feature_names)], ["name"]
     )
     universe = (
         names_df.select(F.col("name").alias("parent"))

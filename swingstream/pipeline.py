@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from swingstream.config import SwingParams
 from swingstream.operators.features import densify_buckets, host_bucket_features
 from swingstream.operators.lagged import explode_windows, with_lags
-from swingstream.operators.ranking import rank_edges
+from swingstream.operators.ranking import rank_edges, rank_edges_sparse
 from swingstream.operators.scoring import score_windows
 
 
@@ -86,11 +86,19 @@ def swing_batch(
     params: SwingParams,
     feature_names: tuple[str, ...] | None = None,
 ) -> DataFrame:
-    """Canonical series -> ranked adjacency list (the flagship query)."""
+    """Canonical series -> ranked adjacency list (the flagship query).
+
+    Dispatches on params.emit_zero_edges: a sparse scorer emits sentinel
+    rows instead of zero hypotheses, so its edges must go through the
+    closed-form sparse rank aggregation — feeding them to dense
+    rank_edges would silently rank sentinel rows as edges.
+    """
     lagged = with_lags(series, params)
     windowed = explode_windows(lagged, params)
     edges = score_windows(windowed, params, feature_names)
-    return rank_edges(edges, params)
+    if params.emit_zero_edges:
+        return rank_edges(edges, params)
+    return rank_edges_sparse(edges, params, feature_names)
 
 
 def swing_edges(

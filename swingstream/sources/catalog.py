@@ -95,16 +95,28 @@ class IcebergLiteTable:
         )
         label = f"{int(batch_id):010d}" if str(batch_id).isdigit() else str(batch_id)
         final_dir = os.path.join(self.data_dir, f"batch-{label}")
+        # Assemble the publishable dir under _tmp (underscore prefix =>
+        # filtered by Spark's file listing, so a concurrent streaming
+        # reader of data_dir can never observe a half-published path —
+        # a `batch-*.tmp` sibling inside data_dir would be visible and
+        # could vanish mid-listing at rename), then ONE atomic os.replace
+        # into data_dir.  Same filesystem by construction (_tmp lives in
+        # the table root).
+        pub = os.path.join(self.tmp_dir, f"publish-{label}")
         lineage = []
-        os.makedirs(final_dir + ".tmp", exist_ok=True)
+        os.makedirs(pub, exist_ok=True)
         import pyarrow.parquet as pq
 
         for f in part_files:
             src = os.path.join(stage, f)
             md = pq.read_metadata(src)
             lineage.append({"file": f"batch-{label}/{f}", "rows": md.num_rows})
-            os.replace(src, os.path.join(final_dir + ".tmp", f))
-        os.replace(final_dir + ".tmp", final_dir)  # atomic publish of the dir
+            os.replace(src, os.path.join(pub, f))
+        if os.path.isdir(final_dir):
+            # crash leftover from a publish that never wrote its manifest
+            # (readers trust manifests, so it was invisible garbage)
+            shutil.rmtree(final_dir)
+        os.replace(pub, final_dir)  # atomic publish of the dir
         shutil.rmtree(stage, ignore_errors=True)
 
         metrics: dict = {"rows": sum(e["rows"] for e in lineage)}

@@ -85,8 +85,11 @@ def combine_partials(batch_df: DataFrame, params: SwingParams) -> DataFrame:
     d = params.delta_seconds
     merged = (
         batch_df.withColumn(
+            # F.floor, not cast('long'): cast truncates toward zero, which
+            # diverges from the batch path (features.pages_to_bucketed) by
+            # one bucket for pre-1970 event times
             "bucket_idx",
-            (F.unix_timestamp(F.col("win.start")) / d).cast("long"),
+            F.floor(F.unix_timestamp(F.col("win.start")) / d).cast("long"),
         )
         .groupBy("host", "bucket_idx")
         .agg(*[F.sum(k).alias(k) for k in _partials()])
@@ -100,10 +103,18 @@ def combine_partials(batch_df: DataFrame, params: SwingParams) -> DataFrame:
 
 def watermark_dropped_rows(query) -> int:
     """Sum of rows dropped as too-late across the query's progress events
-    (T7 observability)."""
+    (T7 observability).  recentProgress yields StreamingQueryProgress
+    objects in Spark 4.x — parse their json payload, same as
+    run_feature_query."""
+    import json as _json
+
     total = 0
     for p in query.recentProgress:
-        for op in p.get("stateOperators", []) if isinstance(p, dict) else []:
+        try:
+            j = _json.loads(p.json) if not isinstance(p, dict) else p
+        except Exception:
+            continue
+        for op in j.get("stateOperators", []):
             total += op.get("numRowsDroppedByWatermark", 0)
     return total
 
