@@ -48,6 +48,22 @@ def _fr6(c):
     return F.floor(c * 1000000.0 + 0.5) / 1000000.0
 
 
+# Staged-intermediate oracles: operators whose FIRST stage is xxhash64
+# hashing (not expressible in DuckDB) write that stage to parquet, read
+# it back, and run the remaining — purely relational — banding / hamming
+# / rank-join stages over the staged table; the DuckDB oracle replays
+# those relational stages from the SAME staged parquet.  The hash stage
+# is covered by its own pytest invariants; everything downstream is
+# hash-verified by the driver.
+_STAGE_ROOT = "/tmp/swingstream_oracle_stage"
+
+
+def _stage(df: DataFrame, name: str) -> str:
+    path = f"{_STAGE_ROOT}/{name}"
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style relational core
 # ---------------------------------------------------------------------------
@@ -869,31 +885,146 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
-# Spark-only entries (no SQL oracle → driver rows-only check)
+# Hash-first operators: staged-intermediate oracles (see _stage above)
 # ---------------------------------------------------------------------------
 
 def q_docs_minhash_lsh(spark, sf):
     _prep(spark)
-    from swingstream.operators.dedup import minhash_lsh_pairs
+    from swingstream.operators.dedup import (
+        minhash_lsh_pairs_from_sigs,
+        minhash_sig_table,
+    )
 
     d = _t(spark, sf, "documents")
-    return minhash_lsh_pairs(d, jaccard_threshold=0.3)
+    path = _stage(minhash_sig_table(d, n_hashes=32, shingle_n=3), "minhash_sigs")
+    sigs = spark.read.parquet(path)
+    return minhash_lsh_pairs_from_sigs(sigs, n_hashes=32, bands=8,
+                                       jaccard_threshold=0.3)
+
+
+SQL_MINHASH_LSH = f"""
+WITH sigs AS (
+  SELECT * FROM read_parquet('{_STAGE_ROOT}/minhash_sigs/*.parquet')),
+banded AS (
+  SELECT id, band_idx, list_slice(sig, band_idx * 4 + 1, band_idx * 4 + 4) AS band_key
+  FROM sigs CROSS JOIN (SELECT unnest(range(8)) AS band_idx)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id),
+scored AS (
+  SELECT c.id_a, c.id_b,
+    CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+      / 32.0 AS est,
+    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jac
+  FROM cand c JOIN sigs sa ON c.id_a = sa.id JOIN sigs sb ON c.id_b = sb.id)
+SELECT id_a, id_b,
+  FLOOR(est * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard,
+  FLOOR(jac * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM scored
+WHERE jac >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+def q_docs_ngram_jaccard_lsh(spark, sf):
+    """Scale path of q_docs_ngram_jaccard: unigram-MinHash band blocking
+    (uniform shuffle key) instead of the lang-blocked cartesian form."""
+    _prep(spark)
+    from swingstream.operators.dedup import (
+        minhash_lsh_pairs_from_sigs,
+        minhash_sig_table,
+    )
+
+    d = _t(spark, sf, "documents")
+    path = _stage(minhash_sig_table(d, n_hashes=32, shingle_n=1),
+                  "unigram_minhash_sigs")
+    sigs = spark.read.parquet(path)
+    return (
+        minhash_lsh_pairs_from_sigs(sigs, n_hashes=32, bands=16,
+                                    jaccard_threshold=0.4)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_NGRAM_JACCARD_LSH = f"""
+WITH sigs AS (
+  SELECT * FROM read_parquet('{_STAGE_ROOT}/unigram_minhash_sigs/*.parquet')),
+banded AS (
+  SELECT id, band_idx, list_slice(sig, band_idx * 2 + 1, band_idx * 2 + 2) AS band_key
+  FROM sigs CROSS JOIN (SELECT unnest(range(16)) AS band_idx)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id),
+scored AS (
+  SELECT c.id_a, c.id_b,
+    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jac
+  FROM cand c JOIN sigs sa ON c.id_a = sa.id JOIN sigs sb ON c.id_b = sb.id)
+SELECT id_a, id_b, FLOOR(jac * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM scored
+WHERE jac >= 0.4
+ORDER BY id_a, id_b
+"""
 
 
 def q_docs_simhash(spark, sf):
     _prep(spark)
-    from swingstream.operators.dedup import simhash_neardup_pairs
+    from swingstream.operators.dedup import simhash_pairs_from_sigs, simhash_sig_table
 
     d = _t(spark, sf, "documents")
-    return simhash_neardup_pairs(d, max_hamming=16)
+    path = _stage(simhash_sig_table(d), "simhash_sigs")
+    sigs = spark.read.parquet(path)
+    return simhash_pairs_from_sigs(sigs, max_hamming=16, prefix_bits=16)
+
+
+SQL_SIMHASH = f"""
+WITH p AS (
+  SELECT id, sh, sh >> 47 AS prefix
+  FROM read_parquet('{_STAGE_ROOT}/simhash_sigs/*.parquet'))
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM p a JOIN p b ON a.prefix = b.prefix AND a.id < b.id
+WHERE bit_count(xor(a.sh, b.sh)) <= 16
+ORDER BY id_a, id_b
+"""
 
 
 def q_emb_ann_lsh(spark, sf):
     _prep(spark)
-    from swingstream.operators.similarity import lsh_ann_topk
+    from swingstream.operators.similarity import (
+        hyperplane_sig_table,
+        lsh_ann_topk_from_sigs,
+    )
 
     v = _t(spark, sf, "embeddings")
-    return lsh_ann_topk(v, _EMB_QUERY_IDS, k=5, n_bits=4)
+    path = _stage(hyperplane_sig_table(v, n_bits=4), "ann_sigs")
+    sigs = spark.read.parquet(path)
+    return lsh_ann_topk_from_sigs(sigs, _EMB_QUERY_IDS, k=5)
+
+
+SQL_EMB_ANN_LSH = f"""
+WITH base AS (
+  SELECT * FROM read_parquet('{_STAGE_ROOT}/ann_sigs/*.parquet')),
+q AS (
+  SELECT cand_id AS query_id, vec AS qvec, sig AS qsig
+  FROM base WHERE cand_id IN (0, 1, 2, 3, 4)),
+scored AS (
+  SELECT q.query_id, b.cand_id,
+         ROUND(list_dot_product(q.qvec, b.vec)
+               / (SQRT(list_dot_product(q.qvec, q.qvec))
+                  * SQRT(list_dot_product(b.vec, b.vec))), 9) AS cos
+  FROM base b JOIN q ON b.sig = q.qsig
+  WHERE b.cand_id <> q.query_id)
+SELECT query_id, cand_id, cos, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, cand_id) AS BIGINT) AS rk
+  FROM scored)
+WHERE rk <= 5 ORDER BY query_id, rk
+"""
 
 
 def q_media_features(spark, sf):
@@ -969,7 +1100,9 @@ def q_swing_ranked(spark, sf):
 
 
 def q_pages_features(spark, sf):
-    """Per-host bucket features on the synthetic pages fixture (rows-only)."""
+    """Per-host bucket features (A9, salted two-stage agg) on the
+    synthetic pages fixture, staged to parquet so DuckDB can replay the
+    dedup → host/bucket derivation → aggregation relationally."""
     _prep(spark)
     from swingstream.fixtures import PagesSpec, gen_pages
     from swingstream.operators.features import host_bucket_features
@@ -978,15 +1111,38 @@ def q_pages_features(spark, sf):
     pages = pages_from_pandas(
         spark, gen_pages(PagesSpec(n_hosts=4, n_buckets=30, base_docs_per_bucket=4))
     )
+    path = _stage(pages.select("url", "warc_ts", "text", "lang"), "pages_fixture")
+    staged = spark.read.parquet(path)
     params = SwingParams()
-    feats = host_bucket_features(pages, params, salted=True)
+    feats = host_bucket_features(staged, params, salted=True)
     return feats.select(
         "group_key",
         "bucket_idx",
-        F.round(F.element_at("features", 1), 6).alias("f_docs"),
-        F.round(F.element_at("features", 2), 6).alias("f_len"),
-        F.round(F.element_at("features", 8), 6).alias("f_tokens"),
+        _fr6(F.element_at("features", 1)).alias("f_docs"),
+        _fr6(F.element_at("features", 2)).alias("f_len"),
+        _fr6(F.element_at("features", 8)).alias("f_tokens"),
     ).orderBy("group_key", "bucket_idx")
+
+
+SQL_PAGES_FEATURES = f"""
+WITH pages AS (
+  SELECT DISTINCT ON (url, warc_ts) url, warc_ts, text
+  FROM read_parquet('{_STAGE_ROOT}/pages_fixture/*.parquet')),
+agg AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS group_key,
+         CAST(FLOOR(epoch(warc_ts) / 60) AS BIGINT) AS bucket_idx,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(LENGTH(text)) AS DOUBLE) AS sum_len,
+         CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(TRIM(text), '\\s+')) END)
+              AS DOUBLE) AS sum_toks
+  FROM pages GROUP BY 1, 2)
+SELECT group_key, bucket_idx,
+  FLOOR(n * 1000000.0 + 0.5) / 1000000.0 AS f_docs,
+  FLOOR((sum_len / n) * 1000000.0 + 0.5) / 1000000.0 AS f_len,
+  FLOOR((sum_toks / n) * 1000000.0 + 0.5) / 1000000.0 AS f_tokens
+FROM agg ORDER BY group_key, bucket_idx
+"""
 
 
 
@@ -1156,6 +1312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_emb_topk": q_emb_topk,
     "q_emb_neardup": q_emb_neardup,
     "q_docs_minhash_lsh": q_docs_minhash_lsh,
+    "q_docs_ngram_jaccard_lsh": q_docs_ngram_jaccard_lsh,
     "q_docs_simhash": q_docs_simhash,
     "q_emb_ann_lsh": q_emb_ann_lsh,
     "q_media_features": q_media_features,
@@ -1206,4 +1363,9 @@ ORACLES: dict[str, str] = {
     "q_media_meta": SQL_MEDIA_META,
     "q_na_drop": SQL_NA_DROP,
     "q_roc_curve": SQL_ROC_CURVE,
+    "q_docs_minhash_lsh": SQL_MINHASH_LSH,
+    "q_docs_ngram_jaccard_lsh": SQL_NGRAM_JACCARD_LSH,
+    "q_docs_simhash": SQL_SIMHASH,
+    "q_emb_ann_lsh": SQL_EMB_ANN_LSH,
+    "q_pages_features": SQL_PAGES_FEATURES,
 }

@@ -90,26 +90,34 @@ def minhash_signature(text: Column, n_hashes: int = 32, shingle_n: int = 3) -> C
     )
 
 
-def minhash_lsh_pairs(
+def minhash_sig_table(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = 32,
-    bands: int = 8,
     shingle_n: int = 3,
-    jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """Near-duplicate pairs via banded MinHash-LSH + exact verification.
-
-    (id_a, id_b, est_jaccard, jaccard) with id_a < id_b, filtered on the
-    EXACT token-shingle Jaccard of the candidates, ordered output.
-    """
-    rows_per_band = n_hashes // bands
-    sigs = docs.select(
+    """(id, sig: array<long>[n_hashes], sh: array<long>) — the staged
+    intermediate between hashing (Spark-only: xxhash64) and the purely
+    relational banding/join/verify stage, which a SQL oracle can replay
+    from this table."""
+    return docs.select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("sig"),
         shingle_hashes(F.col(text_col), shingle_n).alias("sh"),
     ).where(F.size("sh") > 0)
+
+
+def minhash_lsh_pairs_from_sigs(
+    sigs: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Relational stage of MinHash-LSH over a signature table:
+    band-explode → equi-join on (band, band signature) → exact-Jaccard
+    verification on the carried shingle sets → threshold + order."""
+    rows_per_band = n_hashes // bands
     banded = sigs.select(
         "id",
         "sig",
@@ -161,6 +169,24 @@ def minhash_lsh_pairs(
         .orderBy("id_a", "id_b")
     )
     return out
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH + exact verification.
+
+    (id_a, id_b, est_jaccard, jaccard) with id_a < id_b, filtered on the
+    EXACT token-shingle Jaccard of the candidates, ordered output.
+    """
+    sigs = minhash_sig_table(docs, text_col, id_col, n_hashes, shingle_n)
+    return minhash_lsh_pairs_from_sigs(sigs, n_hashes, bands, jaccard_threshold)
 
 
 def ngram_jaccard_pairs(
@@ -224,20 +250,24 @@ def with_simhash(docs: DataFrame, text_col: str = "text", out_col: str = "sh") -
     )
 
 
-def simhash_neardup_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 8,
-    prefix_bits: int = 16,
+def simhash_sig_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """SimHash near-dup pairs: equal high-``prefix_bits`` join, then
-    hamming-distance filter via bit_count(xor)."""
-    d = with_simhash(
+    """(id, sh: long) — staged intermediate; banding/hamming over it is
+    purely relational and SQL-oracle-able."""
+    return with_simhash(
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__")),
         "__text__",
         "sh",
-    ).select("id", "sh").withColumn("prefix", F.shiftright("sh", 63 - prefix_bits))
+    ).select("id", "sh")
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame, max_hamming: int = 8, prefix_bits: int = 16
+) -> DataFrame:
+    """Relational stage of SimHash near-dup: equal high-``prefix_bits``
+    join, then hamming-distance filter via bit_count(xor)."""
+    d = sigs.withColumn("prefix", F.shiftright("sh", 63 - prefix_bits))
     a, b = d.alias("a"), d.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
@@ -247,3 +277,50 @@ def simhash_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs: equal high-``prefix_bits`` join, then
+    hamming-distance filter via bit_count(xor)."""
+    return simhash_pairs_from_sigs(
+        simhash_sig_table(docs, text_col, id_col), max_hamming, prefix_bits
+    )
+
+
+def ngram_jaccard_pairs_lsh(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Token-set Jaccard near-dup pairs with MinHash-LSH blocking — the
+    SCALE path for ``ngram_jaccard_pairs`` (whose equal-``lang`` blocking
+    is a disguised cartesian product on a web corpus: ~5 unbounded
+    blocks).
+
+    Candidates come from banded unigram-MinHash buckets (uniform shuffle
+    key, Σ|bucket|² ≪ n² on non-degenerate corpora), each verified with
+    the same exact token-set Jaccard and emitted in the same
+    (id_a, id_b, jaccard) shape.  Recall follows the 1−(1−t^r)^b LSH
+    curve — with r=2, b=16 a true pair at jaccard 0.8 survives with
+    p > 0.999; sub-near-dup thresholds (< ~0.5) belong to the exact
+    blocked form, which remains the oracle twin.
+    """
+    pairs = minhash_lsh_pairs(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle_n=1,
+        jaccard_threshold=threshold,
+    )
+    return pairs.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")

@@ -70,19 +70,22 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_expr(vec_col: str, n_bits: int) -> str:
+def _hyperplane_expr(vec_col: str, n_bits: int, seed_col: str | None = None) -> str:
     """SQL higher-order expression: sign pattern of projections onto
     pseudo-random hyperplanes whose components derive from
-    xxhash64(bit:dim) mapped into [-1, 1] — deterministic, no driver
-    RNG, no Python.  (SQL form because shiftleft's Python binding only
-    takes static ints, and the shift amount here is the lambda-bound
-    bit index.)"""
+    xxhash64([seed:]bit:dim) mapped into [-1, 1] — deterministic, no
+    driver RNG, no Python.  ``seed_col`` (a column name) yields an
+    independent hyperplane family per value — the per-band families of
+    neardup_pairs_lsh_blas.  (SQL form because shiftleft's Python
+    binding only takes static ints, and the shift amount here is the
+    lambda-bound bit index.)"""
+    seed = f"cast({seed_col} as string), '#', " if seed_col else ""
     return f"""
 aggregate(
   transform(sequence(0, {n_bits - 1}), b ->
     if(aggregate(
          zip_with({vec_col}, sequence(0, size({vec_col}) - 1), (x, d) ->
-           x * (cast(pmod(xxhash64(concat(cast(b as string), ':',
+           x * (cast(pmod(xxhash64(concat({seed}cast(b as string), ':',
                                           cast(d as string))), 2001) - 1000
                      as double) / 1000.0)),
          cast(0.0 as double), (acc, v) -> acc + v) > 0,
@@ -91,19 +94,25 @@ aggregate(
 """
 
 
-def lsh_ann_topk(
+def hyperplane_sig_table(
     vectors: DataFrame,
-    query_ids: list[int],
-    k: int = 5,
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: candidates share the query's LSH bucket (equi-join on
-    signature), then exact cosine rank within the bucket."""
-    base = vectors.select(
+    """(cand_id, vec, sig) — staged intermediate between hyperplane
+    hashing (Spark-only: xxhash64) and the relational bucket-join/rank
+    stage, which a SQL oracle can replay from this table."""
+    return vectors.select(
         F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("vec")
     ).withColumn("sig", F.expr(_hyperplane_expr("vec", n_bits)))
+
+
+def lsh_ann_topk_from_sigs(
+    base: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Relational stage of hyperplane-LSH ANN: equi-join on signature,
+    exact cosine rank within the bucket."""
     queries = base.where(F.col("cand_id").isin(query_ids)).select(
         F.col("cand_id").alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -123,75 +132,162 @@ def lsh_ann_topk(
     )
 
 
+def lsh_ann_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates share the query's LSH bucket (equi-join on
+    signature), then exact cosine rank within the bucket."""
+    return lsh_ann_topk_from_sigs(
+        hyperplane_sig_table(vectors, n_bits, id_col, vec_col), query_ids, k
+    )
+
+
+_PAIR_SCHEMA_DDL = "id_a long, id_b long, cos double"
+
+
+def _normalize_rows(pdf, id_key: str = "id", vec_key: str = "v"):
+    """(ids int64, L2-normalized float64 matrix) from an Arrow batch."""
+    import numpy as np
+
+    ids = pdf[id_key].to_numpy(dtype=np.int64)
+    V = np.array([list(v) for v in pdf[vec_key]], dtype=np.float64)
+    n = np.linalg.norm(V, axis=1)
+    return ids, V / np.where(n > 0, n, 1.0)[:, None]
+
+
+def _pairs_from_sims(ids_a, ids_b, sims, threshold: float, upper: bool):
+    """Thresholded (id_a < id_b) pairs from a similarity matrix."""
+    import numpy as np
+    import pandas as pd
+
+    ia, ib = np.nonzero(sims >= threshold)
+    lo = np.minimum(ids_a[ia], ids_b[ib])
+    hi = np.maximum(ids_a[ia], ids_b[ib])
+    mask = lo < hi if not upper else ids_a[ia] < ids_b[ib]
+    return pd.DataFrame(
+        {
+            "id_a": np.where(lo < hi, lo, hi)[mask] if not upper else ids_a[ia][mask],
+            "id_b": np.where(lo < hi, hi, lo)[mask] if not upper else ids_b[ib][mask],
+            "cos": np.round(sims[ia, ib][mask], 9),
+        }
+    )
+
+
 def neardup_pairs_blas(
     vectors: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via Arrow + numpy matmul.
+    """EXACT embedding-cosine near-duplicate pairs via a distributed
+    block-pair BLAS kernel — no driver collect, no full-corpus broadcast.
 
-    The BLAS-backed bulk kernel: the comparison side is collected,
-    L2-normalized and broadcast; each Arrow batch of rows does one
-    matrix multiply against it.  Interpreted higher-order-function
-    expressions cost ~ms per pair; this is the per-bucket kernel an
-    IVF/LSH partitioning calls at 10^9-vector scale (the broadcast side
-    is then one bucket, never the full corpus).  ``neardup_pairs_cosine``
-    remains the expression-only, oracle-exact form.
+    Every vector is hashed to one of ``n_blocks`` blocks and replicated
+    to the n_blocks block-PAIRS containing its block; each
+    ``applyInPandas`` group holds exactly two blocks (or one, on the
+    diagonal) and does one numpy matmul between them.  A pair (u, v)
+    lands in exactly one group — (block(u), block(v)) — so the output is
+    exact and duplicate-free at ANY threshold.  Per-task memory is
+    O((n/n_blocks)² ) sims + two block matrices; replication cost is a
+    factor n_blocks on the (small) normalized vectors, never the corpus
+    payload.  At 10^9-vector scale the same kernel runs per LSH bucket
+    instead (``neardup_pairs_lsh_blas``) — block-pair all-pairs is the
+    exact/verification form, bucketing is the discovery form.
     """
-    from collections.abc import Iterator
-
     import pandas as pd
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
+
+    base = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks)).alias("blk"),
+    )
+    # replicate each row into every block-pair group that contains its
+    # block: (min(blk, other), max(blk, other)) for other in 0..B-1
+    replicated = base.select(
+        "id",
+        "v",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other"),
+    ).select(
+        "id",
+        "v",
+        "blk",
+        F.least("blk", "other").alias("bi"),
+        F.greatest("blk", "other").alias("bj"),
     )
 
-    rows = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
-    import numpy as np
-
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    V = np.array([list(r["v"]) for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(V, axis=1)
-    norms = np.where(norms > 0, norms, 1.0)
-    Vn = V / norms[:, None]
-    spark = vectors.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_vn = spark.sparkContext.broadcast(Vn)
-
-    schema = StructType(
-        [
-            StructField("id_a", LongType()),
-            StructField("id_b", LongType()),
-            StructField("cos", DoubleType()),
-        ]
-    )
-
-    def blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as _np
-
-        cand_ids, cand_vn = b_ids.value, b_vn.value
-        for pdf in it:
-            rid = pdf["id"].to_numpy(dtype=_np.int64)
-            R = _np.array([list(v) for v in pdf["v"]], dtype=_np.float64)
-            rn = _np.linalg.norm(R, axis=1)
-            rn = _np.where(rn > 0, rn, 1.0)
-            sims = (R / rn[:, None]) @ cand_vn.T
-            ia, ib = _np.nonzero(sims >= threshold)
-            mask = rid[ia] < cand_ids[ib]  # id_a < id_b, no self pairs
-            yield pd.DataFrame(
-                {
-                    "id_a": rid[ia][mask],
-                    "id_b": cand_ids[ib][mask],
-                    "cos": _np.round(sims[ia, ib][mask], 9),
-                }
-            )
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        if bi == bj:
+            ids, Vn = _normalize_rows(pdf)
+            return _pairs_from_sims(ids, ids, Vn @ Vn.T, threshold, upper=True)
+        a_side = pdf[pdf["blk"] == bi]
+        b_side = pdf[pdf["blk"] == bj]
+        if a_side.empty or b_side.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        ids_a, An = _normalize_rows(a_side)
+        ids_b, Bn = _normalize_rows(b_side)
+        return _pairs_from_sims(ids_a, ids_b, An @ Bn.T, threshold, upper=False)
 
     return (
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .mapInPandas(blocks, schema)
+        replicated.groupBy("bi", "bj")
+        .applyInPandas(kernel, _PAIR_SCHEMA_DDL)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def neardup_pairs_lsh_blas(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Embedding near-dup discovery at scale: hyperplane-LSH bucketing
+    (``n_bands`` independent signature families — a pair is a candidate
+    if ANY band buckets it together), then the exact per-bucket BLAS
+    kernel, then pair-level dedup.
+
+    Shuffle key is (band, signature) — uniform for spread-out corpora;
+    only bucket-mates meet in a task, so candidate work is
+    Σ_buckets |bucket|² ≪ n².  Recall is the standard LSH OR-of-bands
+    guarantee: a pair at angle θ survives a band with prob
+    (1 − θ/π)^n_bits, any-of-n_bands ≥ 1 − (1 − p)^bands — tune
+    (n_bits, n_bands) to the threshold.  The cos emitted for a pair is
+    identical in every bucket (same rounded kernel), so dropDuplicates
+    is safe.
+    """
+    import pandas as pd
+
+    base = vectors.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    banded = base.select(
+        "id",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "sig",
+        F.expr(_hyperplane_expr("v", n_bits, seed_col="band")),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        ids, Vn = _normalize_rows(pdf)
+        return _pairs_from_sims(ids, ids, Vn @ Vn.T, threshold, upper=True)
+
+    return (
+        banded.groupBy("band", "sig")
+        .applyInPandas(kernel, _PAIR_SCHEMA_DDL)
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
 
