@@ -38,26 +38,45 @@ HEADLINE = [
     "q_json_props",
     "q_docs_quality",
     "q_docs_langid",
-    "q_docs_simhash",
     "q_emb_topk",
 ]
 
 
-# the pairwise near-dup demos are O(n^2)-verification operators (their
-# scale path is the LSH bucketing, and the tiny synthetic vocab makes
-# every doc near-identical, degenerating LSH buckets to O(n^2) too) —
-# bench them on a bounded slice; full-size correctness is oracle-checked
-# at sf0.01 by the driver contract
-def _bounded_pairwise(spark, sf):
-    import pyspark.sql.functions as F
+def _realistic_docs_path(n_docs: int = 5000) -> str:
+    """Cached realistic Zipf-vocabulary corpus (fixtures.gen_documents).
 
-    from swingstream.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    The driver's synthetic documents table draws from a ~15-word
+    vocabulary — every doc is a near-dup of every other and LSH banding
+    degenerates to O(n²) candidates, benching the fixture rather than
+    the operator.  Dedup/similarity throughput is measured here on a
+    realistic corpus; correctness on the driver tables stays oracle-
+    checked at sf0.01.
+    """
+    from swingstream.fixtures import gen_documents
+
+    path = os.path.join(tempfile.gettempdir(), f"swingstream-docs-real-{n_docs}.parquet")
+    if not os.path.exists(path):
+        gen_documents(n_docs=n_docs).to_parquet(path, index=False)
+    return path
+
+
+def _dedup_similarity(spark, sf):
+    """Full-size dedup/near-dup operators — no row-count slices."""
+    from swingstream.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs_lsh,
+        simhash_neardup_pairs,
+    )
     from swingstream.operators.similarity import neardup_pairs_blas
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet").where(F.col("doc_id") < 1500)
+    # the fixture is one small parquet file => one input partition; fan
+    # out so the signature kernels use every core (real corpora arrive
+    # pre-partitioned — this shuffle is a fixture artifact, measured in)
+    docs = spark.read.parquet(_realistic_docs_path()).repartition(64)
     return {
-        "q_docs_ngram_jaccard_1500": ngram_jaccard_pairs(docs, threshold=0.4),
-        "q_docs_minhash_lsh_1500": minhash_lsh_pairs(docs, jaccard_threshold=0.3),
+        "q_docs_minhash_lsh_5k": minhash_lsh_pairs(docs, jaccard_threshold=0.5),
+        "q_docs_simhash_5k": simhash_neardup_pairs(docs, max_hamming=8),
+        "q_docs_ngram_jaccard_lsh_5k": ngram_jaccard_pairs_lsh(docs, threshold=0.8),
         "q_emb_neardup_blas": neardup_pairs_blas(
             spark.read.parquet(f"{sf}/embeddings.parquet"), threshold=0.3),
     }
@@ -138,7 +157,7 @@ def main() -> None:
         t = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         queries[name] = round(time.time() - t, 3)
-    for name, df in _bounded_pairwise(spark, sf_dir).items():
+    for name, df in _dedup_similarity(spark, sf_dir).items():
         t = time.time()
         df.write.format("noop").mode("overwrite").save()
         queries[name] = round(time.time() - t, 3)

@@ -942,7 +942,7 @@ def q_docs_ngram_jaccard_lsh(spark, sf):
                   "unigram_minhash_sigs")
     sigs = spark.read.parquet(path)
     return (
-        minhash_lsh_pairs_from_sigs(sigs, n_hashes=32, bands=16,
+        minhash_lsh_pairs_from_sigs(sigs, n_hashes=32, bands=8,
                                     jaccard_threshold=0.4)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
@@ -953,8 +953,8 @@ SQL_NGRAM_JACCARD_LSH = f"""
 WITH sigs AS (
   SELECT * FROM read_parquet('{_STAGE_ROOT}/unigram_minhash_sigs/*.parquet')),
 banded AS (
-  SELECT id, band_idx, list_slice(sig, band_idx * 2 + 1, band_idx * 2 + 2) AS band_key
-  FROM sigs CROSS JOIN (SELECT unnest(range(16)) AS band_idx)),
+  SELECT id, band_idx, list_slice(sig, band_idx * 4 + 1, band_idx * 4 + 4) AS band_key
+  FROM sigs CROSS JOIN (SELECT unnest(range(8)) AS band_idx)),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM banded a JOIN banded b

@@ -302,6 +302,68 @@ def gen_pages(spec: PagesSpec = PagesSpec()) -> pd.DataFrame:
     return df.reset_index()
 
 
+# ----------------------------------------------------------------------------
+# Fixture D: realistic web-text document corpus (Zipf vocabulary)
+# ----------------------------------------------------------------------------
+
+def gen_documents(
+    n_docs: int = 5000,
+    vocab_size: int = 20_000,
+    mean_words: int = 80,
+    neardup_frac: float = 0.02,
+    dup_frac: float = 0.005,
+    zipf_s: float = 1.05,
+    seed: int = 11,
+) -> pd.DataFrame:
+    """Realistic-statistics document table (doc_id, text, lang, source,
+    n_chars) for the dedup/similarity benchmarks.
+
+    The driver's synthetic documents table draws from a ~15-word
+    vocabulary, which makes EVERY document a near-duplicate of every
+    other — LSH banding degenerates to O(n²) candidates and benches the
+    fixture, not the operator.  This generator draws from a
+    ``vocab_size``-word Zipf(s) vocabulary (real web text is Zipfian),
+    so unrelated documents share only stop-band words and banding
+    actually prunes; a controlled ``neardup_frac`` of documents are
+    copies with ~8% of tokens resampled (jaccard ≈ 0.85), plus
+    ``dup_frac`` byte-exact copies for the digest path.
+    """
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:05x}" for i in range(vocab_size)], dtype=object)
+    p = 1.0 / np.power(np.arange(1, vocab_size + 1), zipf_s)
+    p /= p.sum()
+    n_base = n_docs - int(n_docs * neardup_frac) - int(n_docs * dup_frac)
+    lens = np.maximum(8, rng.normal(mean_words, mean_words / 3, n_base).astype(int))
+    flat = rng.choice(vocab_size, size=int(lens.sum()), p=p)
+    texts: list[str] = []
+    pos = 0
+    for ln in lens:
+        texts.append(" ".join(vocab[flat[pos : pos + ln]]))
+        pos += ln
+    # planted near-dups: copy a base doc, resample ~8% of its tokens
+    for src in rng.choice(n_base, size=int(n_docs * neardup_frac), replace=False):
+        toks = np.array(texts[src].split(), dtype=object)
+        n_mut = max(1, int(len(toks) * 0.08))
+        idx = rng.choice(len(toks), size=n_mut, replace=False)
+        toks[idx] = vocab[rng.choice(vocab_size, size=n_mut, p=p)]
+        texts.append(" ".join(toks))
+    # byte-exact duplicates
+    for src in rng.choice(n_base, size=int(n_docs * dup_frac), replace=False):
+        texts.append(texts[src])
+    langs = np.asarray(_LANGS, dtype=object)[rng.integers(0, 5, size=len(texts))]
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": langs,
+            "source": np.asarray(["web", "news", "forum", "wiki"], dtype=object)[
+                rng.integers(0, 4, size=len(texts))
+            ],
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+
+
 def write_pages_stream_dir(
     df: pd.DataFrame, out_dir: str, n_files: int = 8
 ) -> list[str]:

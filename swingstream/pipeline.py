@@ -24,10 +24,14 @@ from swingstream.operators.scoring import score_windows
 
 
 def series_from_features(features: DataFrame) -> DataFrame:
-    """(group_key, bucket_idx, bucket_ts, features) -> canonical series."""
-    return features.select(
-        "group_key", F.lit("").alias("replicate"), "bucket_idx", "bucket_ts", "features"
-    )
+    """(group_key, bucket_idx, bucket_ts, features[, is_real]) ->
+    canonical series; is_real (densify_buckets' dead-span marker) rides
+    along when present so the scorer can skip ineligible windows."""
+    cols = ["group_key", F.lit("").alias("replicate"), "bucket_idx", "bucket_ts"]
+    if "is_real" in features.columns:
+        cols.append("is_real")
+    cols.append("features")
+    return features.select(*cols)
 
 
 def series_from_wide(

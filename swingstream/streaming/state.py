@@ -11,13 +11,16 @@ Correctness argument for emission: query 1 emits a (host, bucket) row
 only when the global watermark passes the bucket's window end, so per
 host, staged bucket_idx values are non-decreasing across micro-batches;
 window n is scored as soon as its span [n - max_lag, n + w) lies inside
-the observed dense span, and n is recorded monotonically in state —
-re-delivery of a batch cannot re-emit (max_emitted guard) and the sink
-ledger de-duplicates whole batches.
+the observed [lo, hi] real-bucket range AND its response span contains
+a real bucket (dead-span pin — see emit_windows), and n is recorded
+monotonically in state — re-delivery of a batch cannot re-emit
+(max_emitted guard) and the sink ledger de-duplicates whole batches.
 
-State size: O(w + max_lag) buckets × G doubles per ACTIVE host —
-pruned after every emission, so 10^12 rows stream through while state
-holds only each host's tail.  State-partition count is frozen at the
+State size: O(w + max_lag) REAL buckets × G doubles per ACTIVE host —
+the buffer is sparse (no zero fill), pruned after every emission, and
+dead spans are skipped rather than materialized, so a host dark for
+days costs O(1) state and zero scoring work; 10^12 rows stream through
+while state holds only each host's tail.  State-partition count is frozen at the
 first checkpoint (§4.3 pin #2).
 """
 
@@ -50,20 +53,21 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _dense_merge(
-    idx: list[int], feats: list[list[float]], new_idx, new_feats, g: int
+def _sparse_merge(
+    idx: list[int], feats: list[list[float]], new_idx, new_feats
 ) -> tuple[list[int], list[list[float]]]:
-    """Merge new buckets into the buffer, zero-filling interior gaps —
-    the streaming twin of operators.features.densify_buckets."""
+    """Merge new REAL buckets into the sparse buffer (sorted by idx).
+
+    The buffer stores only observed buckets — no zero fill.  A host dark
+    for N buckets costs O(1) state, not O(N): zero-vectors for interior
+    gaps are materialized per-window at scoring time, and windows whose
+    response span contains no real bucket are skipped entirely (the
+    dead-span pin, mirrored by the batch densify_buckets islands)."""
     by_idx = dict(zip(idx, feats))
     for i, f in zip(new_idx, new_feats):
         by_idx.setdefault(int(i), list(f))  # first write wins (replay no-op)
-    if not by_idx:
-        return [], []
-    lo, hi = min(by_idx), max(by_idx)
-    zero = [0.0] * g
-    full = [(i, by_idx.get(i, zero)) for i in range(lo, hi + 1)]
-    return [i for i, _ in full], [f for _, f in full]
+    items = sorted(by_idx.items())
+    return [i for i, _ in items], [f for _, f in items]
 
 
 def emit_windows(
@@ -75,41 +79,50 @@ def emit_windows(
     names: list[str],
     delta: int,
 ) -> tuple[list[dict[str, list]], int | None]:
-    """Score every complete window newer than max_emitted.  Returns
-    (edge row-dicts, new max_emitted)."""
+    """Score every complete, ELIGIBLE window newer than max_emitted over
+    the sparse buffer.  Eligibility pin (dead-span skip, §4.3): a window
+    starting at n is scored iff its response span [n, n+w-1] contains at
+    least one real bucket — candidates are generated FROM the real
+    buckets, so work is O(|buffer|·w/s) regardless of gap length.
+    Missing buckets inside an eligible window are zero-filled locally
+    (bounded by w+max_lag per window).  Returns (edge row-dicts, new
+    max_emitted)."""
     out = []
     if not idx:
         return out, max_emitted
     lo, hi = idx[0], idx[-1]
-    arr = np.asarray(feats, dtype=np.float64)
-    w, s, kmin, kmax = (
-        params.window_width,
-        params.step_size,
-        params.min_lag,
-        params.max_lag,
-    )
-    # earliest complete window start, aligned to the absolute step grid
+    g = len(names)
+    zero = [0.0] * g
+    by = dict(zip(idx, feats))
+    w, s, kmax = params.window_width, params.step_size, params.max_lag
+    # candidate starts, aligned to the absolute step grid
     # (win_start % s == 0 — same pin as operators.lagged.explode_windows)
-    n = lo + kmax
-    n += (-n) % s
+    cands: set[int] = set()
+    for b in idx:
+        n0 = b - w + 1
+        n0 += (-n0) % s
+        for n in range(n0, b + 1, s):
+            cands.add(n)
     new_max = max_emitted
-    while n + w - 1 <= hi:
-        if (max_emitted is None or n > max_emitted) and n - kmax >= lo:
-            rows_y = arr[n - lo : n - lo + w]
-            X = np.concatenate(
-                [arr[n - k - lo : n - k - lo + w] for k in params.lags], axis=1
-            )
-            win_ts = pd.Timestamp(int(n) * delta, unit="s")
-            out.append(
-                score_design(group_key, int(n), win_ts, X, rows_y, params, names)
-            )
-            new_max = int(n) if new_max is None else max(new_max, int(n))
-        n += s
+    for n in sorted(cands):
+        if n - kmax < lo or n + w - 1 > hi:
+            continue
+        if max_emitted is not None and n <= max_emitted:
+            continue
+        block = np.asarray(
+            [by.get(i, zero) for i in range(n - kmax, n + w)], dtype=np.float64
+        )
+        rows_y = block[kmax : kmax + w]
+        X = np.concatenate(
+            [block[kmax - k : kmax - k + w] for k in params.lags], axis=1
+        )
+        win_ts = pd.Timestamp(int(n) * delta, unit="s")
+        out.append(score_design(group_key, int(n), win_ts, X, rows_y, params, names))
+        new_max = int(n) if new_max is None else max(new_max, int(n))
     return out, new_max
 
 
 def make_state_fn(params: SwingParams, names: list[str]):
-    g = len(names)
     delta = params.delta_seconds
 
     def fn(
@@ -130,7 +143,7 @@ def make_state_fn(params: SwingParams, names: list[str]):
             max_emitted = None if max_emitted is None else int(max_emitted)
         else:
             idx0, feats0, max_emitted = [], [], None
-        idx, feats = _dense_merge(idx0, feats0, new_idx, new_feats, g)
+        idx, feats = _sparse_merge(idx0, feats0, new_idx, new_feats)
         scored, max_emitted = emit_windows(
             group_key, idx, feats, max_emitted, params, names, delta
         )
