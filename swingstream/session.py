@@ -38,7 +38,18 @@ def get_spark(
         # the sink's per-partition event-time lineage reads footer stats
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
-        .config("spark.databricks.delta.snapshotPartitions", "1")  # no-op w/o delta
+        # RocksDB state store (prod pin): large per-host state spills off
+        # heap, changelog checkpointing bounds commit latency — and
+        # transformWithStateInPandas (T5 modern form) REQUIRES RocksDB
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SWINGSTREAM_DRIVER_MEM", "8g"))
     )

