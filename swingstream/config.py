@@ -68,6 +68,13 @@ class SwingParams:
     def lags(self) -> tuple[int, ...]:
         return tuple(range(self.min_lag, self.max_lag + 1))
 
+    @property
+    def session_gap_seconds(self) -> int:
+        """session_gap ('N seconds|minutes|hours') as seconds."""
+        n, unit = self.session_gap.split()
+        mult = {"second": 1, "minute": 60, "hour": 3600}[unit.rstrip("s")]
+        return int(n) * mult
+
     def lag_weight(self, k: int) -> float:
         """Weight applied to ranks at lag k in A4 rank aggregation.
 

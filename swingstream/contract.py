@@ -1188,6 +1188,90 @@ ORDER BY event_id
 """
 
 
+_SESS_FIXTURE_SPEC = dict(n_hosts=4, n_buckets=40, base_docs_per_bucket=3,
+                          late_frac=0.0)
+_SESS_PARAMS = dict(window_width=4, min_lag=1, max_lag=2, method="lasso",
+                    alpha=0.05, session_gap="40 seconds")
+
+
+def _sess_fixture_pages(spark):
+    from swingstream.fixtures import PagesSpec, gen_pages
+    from swingstream.sources.pages import pages_from_pandas
+
+    return pages_from_pandas(
+        spark, gen_pages(PagesSpec(**_SESS_FIXTURE_SPEC)).drop(
+            columns=["arrival_idx"])
+    )
+
+
+def q_session_series(spark, sf):
+    """Relational stage of the session-window SWING variant: dedup →
+    host derivation → end-exclusive sessionization → per-session feature
+    agg → sequence indexing, staged so DuckDB replays it."""
+    _prep(spark)
+    from swingstream.pipeline import session_series_batch
+
+    pages = _sess_fixture_pages(spark)
+    path = _stage(pages.select("url", "warc_ts", "text", "lang"),
+                  "pages_fixture_sess")
+    staged = spark.read.parquet(path)
+    series = session_series_batch(staged, SwingParams(**_SESS_PARAMS))
+    return series.select(
+        "group_key",
+        "bucket_idx",
+        _fr6(F.element_at("features", 1)).alias("f_docs"),
+        _fr6(F.element_at("features", 2)).alias("f_len"),
+        _fr6(F.element_at("features", 8)).alias("f_tokens"),
+    ).orderBy("group_key", "bucket_idx")
+
+
+SQL_SESSION_SERIES = f"""
+WITH pages AS (
+  SELECT DISTINCT ON (url, warc_ts) url, warc_ts, text
+  FROM read_parquet('{_STAGE_ROOT}/pages_fixture_sess/*.parquet')),
+hosted AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         CAST(FLOOR(epoch(warc_ts)) AS BIGINT) AS sec, warc_ts, text
+  FROM pages),
+lagged AS (
+  SELECT host, warc_ts, text, sec,
+         LAG(sec) OVER (PARTITION BY host ORDER BY warc_ts) AS prev_sec
+  FROM hosted),
+sess AS (
+  SELECT host, text,
+         SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec >= 40
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY warc_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM lagged),
+agg AS (
+  SELECT host AS group_key, CAST(sid - 1 AS BIGINT) AS bucket_idx,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(LENGTH(text)) AS DOUBLE) AS sum_len,
+         CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(TRIM(text), '\\s+')) END)
+              AS DOUBLE) AS sum_toks
+  FROM sess GROUP BY 1, 2)
+SELECT group_key, bucket_idx,
+  FLOOR(n * 1000000.0 + 0.5) / 1000000.0 AS f_docs,
+  FLOOR((sum_len / n) * 1000000.0 + 0.5) / 1000000.0 AS f_len,
+  FLOOR((sum_toks / n) * 1000000.0 + 0.5) / 1000000.0 AS f_tokens
+FROM agg ORDER BY group_key, bucket_idx
+"""
+
+
+def q_swing_sessions(spark, sf):
+    """Full session-window SWING variant on the deterministic fixture
+    (rows-only: per-session lasso scoring is not SQL-expressible; the
+    relational stage is oracle-verified by q_session_series and the
+    streaming twin by test_session_pipeline_matches_batch)."""
+    _prep(spark)
+    from swingstream.pipeline import swing_sessions_batch
+
+    pages = _sess_fixture_pages(spark)
+    return swing_sessions_batch(pages, SwingParams(**_SESS_PARAMS))
+
+
 def q_roc_curve(spark, sf):
     """A7/W3: cumulative ROC points via window functions — ranked list =
     parts by retailprice desc, positives = p_size >= 25."""
@@ -1325,6 +1409,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_roc_curve": q_roc_curve,
     "q_swing_ranked": q_swing_ranked,
     "q_pages_features": q_pages_features,
+    "q_session_series": q_session_series,
+    "q_swing_sessions": q_swing_sessions,
 }
 
 ORACLES: dict[str, str] = {
@@ -1368,4 +1454,5 @@ ORACLES: dict[str, str] = {
     "q_docs_simhash": SQL_SIMHASH,
     "q_emb_ann_lsh": SQL_EMB_ANN_LSH,
     "q_pages_features": SQL_PAGES_FEATURES,
+    "q_session_series": SQL_SESSION_SERIES,
 }

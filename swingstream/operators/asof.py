@@ -43,14 +43,21 @@ def asof_last_before(
 
 
 def sessionize(
-    df: DataFrame, key: str, ts: str, gap_seconds: int = 1800
+    df: DataFrame, key: str, ts: str, gap_seconds: int = 1800,
+    end_exclusive: bool = False,
 ) -> DataFrame:
     """Batch sessionization: new session when the gap to the previous
     event exceeds ``gap_seconds`` (lag + cumulative sum — the relational
-    twin of streaming ``session_window``)."""
+    twin of streaming ``session_window``).
+
+    end_exclusive=True matches Spark's session_window exactly (an event
+    arriving exactly ``gap_seconds`` after the previous one starts a NEW
+    session); the default ``>`` is q_sessions' separately pinned batch
+    semantics."""
     w = Window.partitionBy(key).orderBy(ts)
     gap = F.unix_timestamp(ts) - F.unix_timestamp(F.lag(ts, 1).over(w))
-    new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    boundary = gap >= gap_seconds if end_exclusive else gap > gap_seconds
+    new_sess = F.when(gap.isNull() | boundary, 1).otherwise(0)
     return df.withColumn(
         "session_id",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),

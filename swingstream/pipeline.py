@@ -124,6 +124,56 @@ def pages_pipeline(
     return swing_batch(series_from_features(dense), params)
 
 
+def session_series_batch(pages: DataFrame, params: SwingParams) -> DataFrame:
+    """Batch twin of streaming.sessions: per-host activity sessions as
+    the series unit (canonical series schema, bucket_idx = per-host
+    session sequence number, bucket_ts synthetic = seq · Δ — the pinned
+    session-variant semantics)."""
+    from swingstream.functions.textfns import host_of
+    from swingstream.operators.asof import sessionize
+    from swingstream.operators.cleaning import drop_incomplete
+    from swingstream.operators.features import _partials, deduplicate_pages
+
+    rows = (
+        deduplicate_pages(drop_incomplete(pages, subset=["url", "warc_ts", "text"]))
+        .select(host_of(F.col("url")).alias("host"), "warc_ts", "text", "lang")
+    )
+    # end_exclusive: Spark's session_window starts a new session at an
+    # exact-gap arrival — the batch twin must too
+    sess = sessionize(rows, "host", "warc_ts",
+                      gap_seconds=params.session_gap_seconds, end_exclusive=True)
+    agg = sess.groupBy("host", "session_id").agg(
+        *[a.alias(k) for k, a in _partials().items()],
+        F.min("warc_ts").alias("session_start"),
+    )
+    n = F.col("n_docs").cast("double")
+    feats = [
+        n,
+        F.col("sum_len") / n,
+        F.col("n_en") / n,
+        F.col("n_de") / n,
+        F.col("n_fr") / n,
+        F.col("n_es") / n,
+        F.col("n_zz") / n,
+        F.col("sum_tokens") / n,
+        F.col("sum_digit_ratio") / n,
+        F.col("n_long") / n,
+    ]
+    d = params.delta_seconds
+    return agg.select(
+        F.col("host").alias("group_key"),
+        F.lit("").alias("replicate"),
+        (F.col("session_id") - 1).cast("long").alias("bucket_idx"),
+        F.timestamp_seconds((F.col("session_id") - 1) * d).alias("bucket_ts"),
+        F.array(*[f.cast("double") for f in feats]).alias("features"),
+    )
+
+
+def swing_sessions_batch(pages: DataFrame, params: SwingParams) -> DataFrame:
+    """Session-variant batch pipeline: pages -> per-session edge table."""
+    return swing_edges(session_series_batch(pages, params), params)
+
+
 def load_pages(spark: SparkSession, path: str) -> DataFrame:
     from swingstream.sources.pages import PAGES_SCHEMA
 

@@ -386,3 +386,64 @@ def test_tws_matches_legacy_and_batch(spark, stream_dir, tmp_path):
     assert len(a) == len(b) == len(c) and len(a) > 0
     pd.testing.assert_frame_equal(a[cols], b[cols])
     pd.testing.assert_frame_equal(a[cols], c[cols])
+
+
+def test_session_pipeline_matches_batch(spark, tmp_path):
+    """Session-window SWING variant: streaming (session_window agg +
+    sequence-indexed stateful scoring) == batch twin
+    (pipeline.swing_sessions_batch), byte-identical edges.
+
+    Fixture has no late rows (watermark drops have no batch analogue);
+    drain sentinels push the final watermark past every real session."""
+    import time
+
+    from swingstream.pipeline import swing_sessions_batch
+    from swingstream.sources.pages import pages_from_pandas
+    from swingstream.streaming.sessions import run_session_pipeline
+
+    sess_params = SwingParams(
+        window_width=4, step_size=1, min_lag=1, max_lag=2, method="lasso",
+        alpha=0.05, watermark="5 minutes", session_gap="40 seconds",
+    )
+    clean = PagesSpec(n_hosts=4, n_buckets=40, base_docs_per_bucket=3,
+                      late_frac=0.0)
+    df = gen_pages(clean)
+    path = str(tmp_path / "sess_stream")
+    write_pages_stream_dir(df, path, n_files=8)
+    base_mtime = time.time()
+    for i, mins in enumerate([30, 60]):
+        sent = df.iloc[[0]].copy()
+        sent["url"] = f"https://sentinel.drain/x{i}"
+        sent["warc_ts"] = (
+            df["warc_ts"].max() + pd.Timedelta(minutes=mins)
+        ).floor("us")
+        sent["warc_ts"] = sent["warc_ts"].astype("datetime64[us]")
+        p = os.path.join(path, f"part-999{8 + i}.parquet")
+        sent.drop(columns=["arrival_idx"]).to_parquet(p, index=False)
+        os.utime(p, (base_mtime + 2 * i, base_mtime + 2 * i))
+
+    names = list(sess_params.feature_names)
+    feat_table, edges_table = run_session_pipeline(
+        spark, path, str(tmp_path / "work"), sess_params, names
+    )
+    stream_edges = edges_table.read(spark).toPandas()
+    stream_edges = stream_edges[
+        stream_edges["group_key"] != "sentinel.drain"
+    ]
+
+    batch_pages = pages_from_pandas(spark, df.drop(columns=["arrival_idx"]))
+    batch_edges = swing_sessions_batch(batch_pages, sess_params).toPandas()
+
+    # multiple sessions per host must actually form, else the fixture
+    # tests nothing (the hot host legitimately never gaps -> 1 session)
+    feats = feat_table.read(spark).toPandas()
+    n_sessions = feats[feats["group_key"] != "sentinel.drain"].groupby(
+        "group_key").size()
+    assert (n_sessions > sess_params.window_width + 2).sum() >= 2, n_sessions
+
+    key = ["group_key", "win_start", "parent", "child", "lag"]
+    cols = key + ["importance", "win_start_ts"]
+    a = stream_edges.sort_values(key).reset_index(drop=True)
+    b = batch_edges.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a[cols], b[cols])
