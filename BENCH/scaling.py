@@ -36,7 +36,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
-import json, os, sys, tempfile, time
+import json, os, shutil, sys, tempfile, time
 os.environ.setdefault("SWINGSTREAM_DRIVER_MEM", "48g")
 sys.path.insert(0, {repo!r})
 from swingstream.session import get_spark
@@ -45,11 +45,7 @@ from bench import _bench_stream_dir
 from swingstream.streaming.state import run_pipeline_concurrent
 
 cpus = int(sys.argv[1])
-spark = get_spark(master=f"local[{{cpus}}]", app_name=f"swingstream-scaling-{{cpus}}", extra_conf={{
-    "spark.sql.streaming.stateStore.providerClass":
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
-}})
+spark = get_spark(master=f"local[{{cpus}}]", app_name=f"swingstream-scaling-{{cpus}}")
 params = SwingParams(window_width=8, step_size=1, min_lag=1, max_lag=3,
                      method="lasso", alpha=0.05, watermark="5 minutes", n_salts=8,
                      emit_zero_edges=False, solver_max_iter=150)
@@ -58,19 +54,33 @@ stream_dir, n_docs = _bench_stream_dir()
 # high thread counts — a pure sandbox artifact (real clusters have
 # per-executor storage); compute scaling is what we are measuring
 shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-work = tempfile.mkdtemp(prefix=f"swingstream-scaling-{{cpus}}-", dir=shm)
-t0 = time.time()
-ft, et = run_pipeline_concurrent(spark, stream_dir, work, params,
-                                 list(params.feature_names),
-                                 feature_files_per_trigger=16)
-t2 = time.time()
-import shutil as _sh
-edge_rows = et.total_rows()
-_sh.rmtree(work, ignore_errors=True)
+
+def run_once():
+    work = tempfile.mkdtemp(prefix=f"swingstream-scaling-{{cpus}}-", dir=shm)
+    t0 = time.time()
+    ft, et = run_pipeline_concurrent(spark, stream_dir, work, params,
+                                     list(params.feature_names),
+                                     feature_files_per_trigger=16)
+    wall = time.time() - t0
+    edge_rows = et.total_rows()
+    shutil.rmtree(work, ignore_errors=True)
+    return wall, edge_rows
+
+# STEADY-STATE protocol: the first run through a fresh JVM pays one-time
+# costs a long-lived cluster never re-pays per unit of data — JVM +
+# whole-stage-codegen compilation, Arrow/Python worker pool spin-up,
+# filesystem caches.  Executors on a real N-vs-4N cluster are warm long
+# before the 10^12-row table is through, so the cluster-proxy
+# measurement is the SECOND (warm) run; the cold run is reported too.
+wall_cold, edge_rows = run_once()
+wall_warm, edge_rows2 = run_once()
+assert edge_rows == edge_rows2, (edge_rows, edge_rows2)
 print("RESULT " + json.dumps({{
     "cpus": cpus, "docs": n_docs,
-    "wall_sec": round(t2 - t0, 2),
-    "docs_per_sec": round(n_docs / (t2 - t0), 1),
+    "wall_sec": round(wall_warm, 2),
+    "wall_sec_cold": round(wall_cold, 2),
+    "docs_per_sec": round(n_docs / wall_warm, 1),
+    "docs_per_sec_cold": round(n_docs / wall_cold, 1),
     "edge_rows": edge_rows,
 }}))
 """

@@ -1273,23 +1273,29 @@ def q_swing_sessions(spark, sf):
 
 
 def q_roc_curve(spark, sf):
-    """A7/W3: cumulative ROC points via window functions — ranked list =
-    parts by retailprice desc, positives = p_size >= 25."""
+    """A7/W3: cumulative ROC points — ranked list = parts by retailprice
+    desc, positives = p_size >= 25.  Uses the DISTRIBUTED prefix-sum
+    (evaluate.cumulative_counts_scalable): range-partitioned cumsums +
+    64-row offset join, instead of the single-task global window — the
+    W3 form that survives a 100× scale-up."""
     _prep(spark)
+    from swingstream.operators.evaluate import cumulative_counts_scalable
+
     p = _t(spark, sf, "part")
     labeled = p.select(
         "p_partkey",
         "p_retailprice",
         (F.col("p_size") >= 25).cast("int").alias("label"),
     )
-    order = Window.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
-    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = cumulative_counts_scalable(
+        labeled, [F.desc("p_retailprice"), F.asc("p_partkey")]
+    )
     totals = labeled.agg(
         F.sum("label").alias("P"), F.sum(1 - F.col("label")).alias("N")
     )
     return (
-        labeled.withColumn("tp", F.sum("label").over(cum).cast("long"))
-        .withColumn("fp", F.sum(1 - F.col("label")).over(cum).cast("long"))
+        cum.withColumn("tp", F.col("tp").cast("long"))
+        .withColumn("fp", F.col("fp").cast("long"))
         .crossJoin(F.broadcast(totals))
         .select(
             "p_partkey",

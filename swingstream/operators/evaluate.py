@@ -42,6 +42,52 @@ def roc_pr_points(labeled: DataFrame) -> DataFrame:
     )
 
 
+def cumulative_counts_scalable(
+    labeled: DataFrame,
+    order_cols: list,
+    label_col: str = "label",
+    n_parts: int = 64,
+) -> DataFrame:
+    """Distributed cumulative TP/FP over a TOTAL order — the scale form
+    of the single-task `Window.orderBy` prefix sum (W3 at any size).
+
+    Classic distributed prefix-sum: range-repartition on the order key,
+    cumsum WITHIN each range partition (parallel window, partitioned by
+    the range id), then add each partition's prefix offset — the offsets
+    come from a 64-row aggregate windowed on the range id (driver never
+    sees data rows).  Correct for any boundary placement because the
+    order is total; AQE does not coalesce an explicit repartitionByRange
+    with a fixed partition count.
+    """
+    d = labeled.repartitionByRange(n_parts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    pid_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("_pid")
+        .agg(
+            F.sum(label_col).alias("_p"),
+            F.sum(1 - F.col(label_col)).alias("_n"),
+        )
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_p").over(pid_w), F.lit(0)).alias("_p_off"),
+            F.coalesce(F.sum("_n").over(pid_w), F.lit(0)).alias("_n_off"),
+        )
+    )
+    within = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.withColumn("_tp_local", F.sum(label_col).over(within))
+        .withColumn("_fp_local", F.sum(1 - F.col(label_col)).over(within))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("tp", F.col("_tp_local") + F.col("_p_off"))
+        .withColumn("fp", F.col("_fp_local") + F.col("_n_off"))
+        .drop("_pid", "_tp_local", "_fp_local", "_p_off", "_n_off")
+    )
+
+
 def _trapezoid(points: DataFrame, x: str, y: str) -> float:
     order = Window.orderBy(F.asc("mean_rank"), F.asc("parent"), F.asc("child"))
     stepped = points.select(

@@ -73,3 +73,15 @@ def test_lsh_blas_recall_and_candidate_bound(spark, planted_vectors):
         .toPandas()
     )
     assert (sizes["work"] < n * n / 4).all(), sizes
+
+
+def test_neardup_blas_has_no_driver_collect():
+    """The round-1 kernel collected the corpus to the driver; the
+    block-pair form must never — guard the source itself."""
+    import inspect
+
+    from swingstream.operators import similarity
+
+    for fn in (similarity.neardup_pairs_blas, similarity.neardup_pairs_lsh_blas):
+        src = inspect.getsource(fn)
+        assert ".collect(" not in src and "broadcast(" not in src, fn.__name__
