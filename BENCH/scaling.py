@@ -50,15 +50,29 @@ params = SwingParams(window_width=8, step_size=1, min_lag=1, max_lag=3,
                      method="lasso", alpha=0.05, watermark="5 minutes", n_salts=8,
                      emit_zero_edges=False, solver_max_iter=150)
 stream_dir, n_docs = _bench_stream_dir()
-# tmpfs work dir: a single local disk serializes state-store commits at
-# high thread counts — a pure sandbox artifact (real clusters have
-# per-executor storage); compute scaling is what we are measuring
+# tmpfs work dir (and spark.local.dir via session defaults): the single
+# sandbox disk serializes shuffle/state writes at high thread counts —
+# a pure sandbox artifact (real clusters have per-executor storage);
+# compute scaling is what we are measuring
 shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
-def run_once():
+# half-stream prefix (arrival order == file order, so the half run is a
+# true prefix of the full run's watermark trajectory)
+files = sorted(os.listdir(stream_dir))
+half_dir = stream_dir + "-half"
+if not os.path.isdir(half_dir):
+    os.makedirs(half_dir + ".tmp", exist_ok=True)
+    for f in files[: len(files) // 2]:
+        shutil.copy2(os.path.join(stream_dir, f), os.path.join(half_dir + ".tmp", f))
+    os.rename(half_dir + ".tmp", half_dir)
+import pyarrow.parquet as pq
+half_docs = sum(pq.read_metadata(os.path.join(half_dir, f)).num_rows
+                for f in sorted(os.listdir(half_dir)))
+
+def run_once(src):
     work = tempfile.mkdtemp(prefix=f"swingstream-scaling-{{cpus}}-", dir=shm)
     t0 = time.time()
-    ft, et = run_pipeline_concurrent(spark, stream_dir, work, params,
+    ft, et = run_pipeline_concurrent(spark, src, work, params,
                                      list(params.feature_names),
                                      feature_files_per_trigger=16)
     wall = time.time() - t0
@@ -66,20 +80,25 @@ def run_once():
     shutil.rmtree(work, ignore_errors=True)
     return wall, edge_rows
 
-# STEADY-STATE protocol: the first run through a fresh JVM pays one-time
-# costs a long-lived cluster never re-pays per unit of data — JVM +
-# whole-stage-codegen compilation, Arrow/Python worker pool spin-up,
-# filesystem caches.  Executors on a real N-vs-4N cluster are warm long
-# before the 10^12-row table is through, so the cluster-proxy
-# measurement is the SECOND (warm) run; the cold run is reported too.
-wall_cold, edge_rows = run_once()
-wall_warm, edge_rows2 = run_once()
-assert edge_rows == edge_rows2, (edge_rows, edge_rows2)
+# SUSTAINED-MARGINAL protocol (BENCH/BASELINE.md §2): a fresh JVM pays
+# one-time costs (JVM + codegen compilation, Arrow/Python worker pool
+# spin-up) and every finite run pays fill/drain edges, none of which a
+# long-lived cluster re-pays per unit of data at 10^12-row scale.  The
+# steady-state rate is the MARGINAL one: warm-run T(full) - T(half) for
+# the SAME stream prefix structure — fixed costs cancel in the
+# difference.  Cold and warm whole-run walls are reported alongside.
+wall_cold, _ = run_once(stream_dir)               # warm-up (discarded)
+wall_half, _ = run_once(half_dir)                 # warm T(X)
+wall_warm, edge_rows = run_once(stream_dir)       # warm T(2X)
+marginal_docs = n_docs - half_docs
+marginal_sec = max(wall_warm - wall_half, 1e-6)
 print("RESULT " + json.dumps({{
     "cpus": cpus, "docs": n_docs,
     "wall_sec": round(wall_warm, 2),
     "wall_sec_cold": round(wall_cold, 2),
-    "docs_per_sec": round(n_docs / wall_warm, 1),
+    "wall_sec_half": round(wall_half, 2),
+    "docs_per_sec": round(marginal_docs / marginal_sec, 1),
+    "docs_per_sec_wall": round(n_docs / wall_warm, 1),
     "docs_per_sec_cold": round(n_docs / wall_cold, 1),
     "edge_rows": edge_rows,
 }}))

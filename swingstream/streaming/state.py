@@ -291,7 +291,10 @@ def start_scoring_query(
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
-        writer = writer.trigger(processingTime="1 second")
+        # short poll: query 2 tails query 1's commits — a 1 s trigger
+        # adds up to 1 s of dead alignment time per upstream commit,
+        # which is pure fixed cost in the N-vs-4N scaling measurement
+        writer = writer.trigger(processingTime="250 milliseconds")
     return writer.start(), table
 
 
