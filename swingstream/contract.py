@@ -1088,6 +1088,174 @@ def q_swing_edges(spark, sf):
     return swing_edges(series, params, feature_names=tuple(names))
 
 
+def q_swing_rank_agg(spark, sf):
+    """A4/W1/O1 — the tRDTools rank aggregation, oracle-verified: the
+    numpy-scored per-window edge table is staged to parquet; Spark runs
+    rank_edges over the staged table and DuckDB replays lag-collapse →
+    tie-averaged per-window ranking → mean-rank → total-order sort."""
+    _prep(spark)
+    from swingstream.operators.ranking import rank_edges
+    from swingstream.pipeline import swing_edges
+
+    series, names, _ = _fixture_series(spark)
+    params = SwingParams(window_width=10, min_lag=1, max_lag=2, method="lasso",
+                         alpha=0.05)
+    edges = swing_edges(series, params, feature_names=tuple(names))
+    path = _stage(
+        edges.select("group_key", "win_start", "win_start_ts", "parent",
+                     "child", "lag", "importance"),
+        "swing_edges",
+    )
+    staged = spark.read.parquet(path)
+    ranked = rank_edges(staged, params)
+    return ranked.select(
+        "parent",
+        "child",
+        _fr6(F.col("mean_rank")).alias("mean_rank"),
+        _fr6(F.col("mean_importance")).alias("mean_importance"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    ).orderBy("mean_rank", "parent", "child")
+
+
+SQL_SWING_RANK_AGG = f"""
+WITH edges AS (
+  SELECT * FROM read_parquet('{_STAGE_ROOT}/swing_edges/*.parquet')),
+pairs AS (
+  SELECT group_key, win_start, parent, child, MAX(importance) AS importance
+  FROM edges GROUP BY 1, 2, 3, 4),
+rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY group_key, win_start
+           ORDER BY importance DESC, parent, child) AS rn
+  FROM pairs),
+rk AS (
+  SELECT *, AVG(rn) OVER (PARTITION BY group_key, win_start, importance) AS rank
+  FROM rn)
+SELECT parent, child,
+  FLOOR(AVG(rank) * 1000000.0 + 0.5) / 1000000.0 AS mean_rank,
+  FLOOR(AVG(importance) * 1000000.0 + 0.5) / 1000000.0 AS mean_importance,
+  CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM rk GROUP BY parent, child
+ORDER BY mean_rank, parent, child
+"""
+
+
+def q_swing_auroc(spark, sf):
+    """J2 + A7 end-to-end on real pipeline output, oracle-verified: the
+    ranked adjacency list and planted gold edges are staged; BOTH
+    engines join/label, walk the ranked list, and trapezoid AUROC/AUPR."""
+    import math
+
+    _prep(spark)
+    from swingstream.operators.evaluate import (
+        _trapezoid,
+        label_edges,
+        roc_pr_points,
+    )
+    from swingstream.pipeline import swing_batch
+
+    series, names, net = _fixture_series(spark)
+    params = SwingParams(window_width=10, min_lag=1, max_lag=3, method="lasso",
+                         alpha=0.05)
+    ranked = swing_batch(series, params, feature_names=tuple(names))
+    gold = spark.createDataFrame(net.gold_edges(names))
+    rp = _stage(ranked.select("parent", "child", "mean_rank"), "swing_ranked")
+    gp = _stage(gold, "gold_edges")
+    labeled = label_edges(spark.read.parquet(rp), spark.read.parquet(gp))
+    pts = roc_pr_points(labeled)
+    auroc = _trapezoid(pts, "fpr", "tpr")
+    aupr = _trapezoid(pts, "recall", "precision")
+    totals = labeled.agg(
+        F.sum("label").alias("P"), F.sum(1 - F.col("label")).alias("N")
+    ).collect()[0]
+    fr6 = lambda x: math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    return spark.createDataFrame(
+        [(fr6(auroc), fr6(aupr), int(totals["P"]), int(totals["N"]))],
+        "auroc double, aupr double, p long, n long",
+    )
+
+
+SQL_SWING_AUROC = f"""
+WITH r AS (
+  SELECT * FROM read_parquet('{_STAGE_ROOT}/swing_ranked/*.parquet')),
+g AS (
+  SELECT * FROM read_parquet('{_STAGE_ROOT}/gold_edges/*.parquet')),
+lab AS (
+  SELECT r.parent, r.child, r.mean_rank,
+         COALESCE(g.label, 0) AS label
+  FROM r LEFT JOIN g USING (parent, child)),
+tot AS (
+  SELECT GREATEST(SUM(label), 1) AS P, GREATEST(SUM(1 - label), 1) AS N,
+         CAST(SUM(label) AS BIGINT) AS p_raw,
+         CAST(SUM(1 - label) AS BIGINT) AS n_raw
+  FROM lab),
+pts AS (
+  SELECT mean_rank, parent, child,
+         SUM(label) OVER w AS tp, SUM(1 - label) OVER w AS fp
+  FROM lab
+  WINDOW w AS (ORDER BY mean_rank, parent, child
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+xy AS (
+  SELECT mean_rank, parent, child,
+         tp / P AS tpr, fp / N AS fpr,
+         tp / (tp + fp) AS prec, tp / P AS recall
+  FROM pts CROSS JOIN tot),
+st AS (
+  SELECT *, LAG(fpr, 1, 0.0) OVER o AS fpr0, LAG(tpr, 1, 0.0) OVER o AS tpr0,
+         LAG(recall, 1, 0.0) OVER o AS rec0, LAG(prec, 1, 0.0) OVER o AS prec0
+  FROM xy WINDOW o AS (ORDER BY mean_rank, parent, child))
+SELECT
+  FLOOR(SUM((fpr - fpr0) * (tpr + tpr0) / 2) * 1000000.0 + 0.5) / 1000000.0
+    AS auroc,
+  FLOOR(SUM((recall - rec0) * (prec + prec0) / 2) * 1000000.0 + 0.5) / 1000000.0
+    AS aupr,
+  (SELECT p_raw FROM tot) AS p,
+  (SELECT n_raw FROM tot) AS n
+FROM st
+"""
+
+
+def q_lagged_design(spark, sf):
+    """J1/W2 — the lagged window pairing (SWING's core), oracle-verified:
+    the canonical series is staged; Spark runs with_lags +
+    explode_windows and DuckDB replays LAG() + window-start explosion."""
+    _prep(spark)
+    from swingstream.operators.lagged import explode_windows, with_lags
+
+    series, names, _ = _fixture_series(spark)
+    path = _stage(series, "series_fixture")
+    staged = spark.read.parquet(path)
+    params = SwingParams(window_width=10, step_size=2, min_lag=1, max_lag=2)
+    out = explode_windows(with_lags(staged, params), params)
+    return out.select(
+        "group_key",
+        "replicate",
+        "bucket_idx",
+        F.col("win_start").cast("long").alias("win_start"),
+        _fr6(F.element_at("features", 1)).alias("f0"),
+        _fr6(F.element_at("lag_1", 1)).alias("lag1_f0"),
+        _fr6(F.element_at("lag_2", 1)).alias("lag2_f0"),
+    ).orderBy("group_key", "replicate", "bucket_idx", "win_start")
+
+
+SQL_LAGGED_DESIGN = f"""
+WITH s AS (
+  SELECT * FROM read_parquet('{_STAGE_ROOT}/series_fixture/*.parquet')),
+lagged AS (
+  SELECT group_key, replicate, bucket_idx,
+         FLOOR(features[1] * 1000000.0 + 0.5) / 1000000.0 AS f0,
+         LAG(features, 1) OVER w AS l1,
+         LAG(features, 2) OVER w AS l2
+  FROM s
+  WINDOW w AS (PARTITION BY group_key, replicate ORDER BY bucket_idx))
+SELECT group_key, replicate, bucket_idx, CAST(ws AS BIGINT) AS win_start, f0,
+       FLOOR(l1[1] * 1000000.0 + 0.5) / 1000000.0 AS lag1_f0,
+       FLOOR(l2[1] * 1000000.0 + 0.5) / 1000000.0 AS lag2_f0
+FROM lagged, UNNEST(range(bucket_idx - 9, bucket_idx + 1)) AS t(ws)
+WHERE ((ws % 2) + 2) % 2 = 0
+ORDER BY group_key, replicate, bucket_idx, win_start
+"""
+
+
 def q_swing_ranked(spark, sf):
     """Flagship: ranked adjacency list on the DREAM4-style fixture."""
     _prep(spark)
@@ -1414,6 +1582,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_swing_permutation": q_swing_permutation,
     "q_roc_curve": q_roc_curve,
     "q_swing_ranked": q_swing_ranked,
+    "q_swing_rank_agg": q_swing_rank_agg,
+    "q_lagged_design": q_lagged_design,
+    "q_swing_auroc": q_swing_auroc,
     "q_pages_features": q_pages_features,
     "q_session_series": q_session_series,
     "q_swing_sessions": q_swing_sessions,
@@ -1461,4 +1632,7 @@ ORACLES: dict[str, str] = {
     "q_emb_ann_lsh": SQL_EMB_ANN_LSH,
     "q_pages_features": SQL_PAGES_FEATURES,
     "q_session_series": SQL_SESSION_SERIES,
+    "q_swing_rank_agg": SQL_SWING_RANK_AGG,
+    "q_lagged_design": SQL_LAGGED_DESIGN,
+    "q_swing_auroc": SQL_SWING_AUROC,
 }
