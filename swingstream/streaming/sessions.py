@@ -78,6 +78,11 @@ def session_features_stream(pages: DataFrame, params: SwingParams) -> DataFrame:
 
     extracted = pages.select(
         "url", "warc_ts", extract_udf(F.col("html")).alias("text"), "lang"
+    ).observe(
+        "sess_pages_in",
+        F.count(F.lit(1)).alias("rows"),
+        F.min("warc_ts").alias("min_ts"),
+        F.max("warc_ts").alias("max_ts"),
     )
     deduped = (
         extracted.withWatermark("warc_ts", params.watermark)
@@ -184,15 +189,19 @@ def make_session_state_fn(params: SwingParams, names: list[str]):
     return fn
 
 
-def run_session_scoring_query(
+def start_session_scoring_query(
     spark,
     staging_data_dir: str,
     out_root: str,
     checkpoint: str,
     params: SwingParams,
     names: list[str],
-) -> IcebergLiteTable:
-    """Query 2 (session variant) to completion over staged session rows."""
+    *,
+    available_now: bool = True,
+):
+    """Start query 2 (session variant) over staged session rows;
+    returns (query, table).  available_now=False = continuous trigger
+    (the concurrent production topology)."""
     table = IcebergLiteTable(out_root)
     feats = (
         spark.readStream.schema(SESSION_FEATURE_SCHEMA)
@@ -211,12 +220,29 @@ def run_session_scoring_query(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         table.commit(batch_id, batch_df, "win_start_ts")
 
-    q = (
+    writer = (
         edges.writeStream.foreachBatch(sink)
         .outputMode("append")
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="250 milliseconds")
+    return writer.start(), table
+
+
+def run_session_scoring_query(
+    spark,
+    staging_data_dir: str,
+    out_root: str,
+    checkpoint: str,
+    params: SwingParams,
+    names: list[str],
+) -> IcebergLiteTable:
+    """Query 2 (session variant) to completion over staged session rows."""
+    q, table = start_session_scoring_query(
+        spark, staging_data_dir, out_root, checkpoint, params, names
     )
     q.awaitTermination()
     return table
@@ -225,15 +251,58 @@ def run_session_scoring_query(
 def run_session_pipeline(
     spark, pages_path: str, work_root: str, params: SwingParams, names: list[str]
 ):
-    """Both chained session-variant queries; returns (features, edges)."""
+    """Production topology (session variant): query 1 and query 2 run
+    CONCURRENTLY — query 2 tails query 1's session commits as they land,
+    mirroring state.run_pipeline_concurrent.  Returns (features, edges)."""
+    import json as _json
     import os
 
-    feat_table = run_session_feature_query(
-        spark, pages_path, os.path.join(work_root, "sess_features"),
-        os.path.join(work_root, "ck_sf"), params,
+    feat_table = IcebergLiteTable(os.path.join(work_root, "sess_features"))
+    pages = read_pages_stream(spark, pages_path, 4)
+    feats = session_features_stream(pages, params)
+
+    def feat_sink(batch_df: DataFrame, batch_id: int) -> None:
+        feat_table.commit(batch_id, batch_df, "session_start", n_files=1)
+
+    q1 = (
+        feats.writeStream.foreachBatch(feat_sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work_root, "ck_sf"))
+        .trigger(availableNow=True)
+        .start()
     )
-    edges_table = run_session_scoring_query(
-        spark, feat_table.data_dir, os.path.join(work_root, "sess_edges"),
-        os.path.join(work_root, "ck_se"), params, names,
+    q2, edges_table = start_session_scoring_query(
+        spark,
+        feat_table.data_dir,
+        os.path.join(work_root, "sess_edges"),
+        os.path.join(work_root, "ck_se"),
+        params,
+        names,
+        available_now=False,
     )
+    q1.awaitTermination()
+    # T7 observability sidecars for the session query (same shape as
+    # run_feature_query's): per-batch observed inputs + watermark drops
+    for p in q1.recentProgress:
+        try:
+            j = _json.loads(p.json)
+        except Exception:
+            continue
+        side = {
+            "batch_id": j["batchId"],
+            "input_rows": j.get("numInputRows"),
+            "observed": j.get("observedMetrics", {}).get("sess_pages_in"),
+            "rows_dropped_by_watermark": sum(
+                op.get("numRowsDroppedByWatermark", 0)
+                for op in j.get("stateOperators", [])
+            ),
+        }
+        sp = os.path.join(feat_table.manifest_dir, f"observed-{j['batchId']}.json")
+        if not os.path.exists(sp):
+            with open(sp + ".tmp", "w") as fh:
+                _json.dump(side, fh, indent=1)
+            os.replace(sp + ".tmp", sp)
+    q2.processAllAvailable()  # drain everything query 1 committed
+    q2.stop()
+    q2.awaitTermination()
     return feat_table, edges_table
