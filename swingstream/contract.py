@@ -830,6 +830,33 @@ ORDER BY id_a, id_b
 """
 
 
+def q_docs_fingerprint(spark, sf):
+    """Document fingerprinting (rolling n-gram digest): per doc, the
+    distinct-shingle count and the min-digest fingerprint."""
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    sh = T.shingle_digests(F.col("text"), 3)
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(sh)).cast("long").alias("n_shingles"),
+        T.doc_fingerprint(F.col("text"), 3).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+SQL_DOCS_FINGERPRINT = """
+SELECT doc_id,
+       CAST(len(list_distinct(sh)) AS BIGINT) AS n_shingles,
+       list_min(sh) AS fingerprint
+FROM (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                        i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+  FROM (SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\\s+') AS t
+        FROM documents))
+ORDER BY doc_id
+"""
+
+
 _EMB_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
@@ -1566,6 +1593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_docs_quality": q_docs_quality,
     "q_docs_langid": q_docs_langid,
     "q_docs_digest_map": q_docs_digest_map,
+    "q_docs_fingerprint": q_docs_fingerprint,
     "q_docs_ngram_jaccard": q_docs_ngram_jaccard,
     "q_emb_topk": q_emb_topk,
     "q_emb_neardup": q_emb_neardup,
@@ -1620,6 +1648,7 @@ ORACLES: dict[str, str] = {
     "q_docs_quality": SQL_DOCS_QUALITY,
     "q_docs_langid": SQL_DOCS_LANGID,
     "q_docs_digest_map": SQL_DIGEST_MAP,
+    "q_docs_fingerprint": SQL_DOCS_FINGERPRINT,
     "q_docs_ngram_jaccard": SQL_NGRAM_JACCARD,
     "q_emb_topk": SQL_EMB_TOPK,
     "q_emb_neardup": SQL_EMB_NEARDUP,

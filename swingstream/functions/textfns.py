@@ -89,3 +89,23 @@ def lang_id(text: Column) -> Column:
     for lg in reversed(list(STOPWORDS)):
         out = F.when((best > 0) & (scores[lg] == best), F.lit(lg)).otherwise(out)
     return out
+
+
+def shingle_digests(text: Column, n: int = 3) -> Column:
+    """md5 digests of word n-gram shingles (rolling window over the
+    whitespace tokenization; one whole-doc shingle when shorter than n).
+
+    md5, not xxhash64, so the digest is directly SQL-oracle-able; the
+    throughput path for near-dup discovery is operators.dedup's Arrow
+    rolling-hash kernel — this is the FINGERPRINT form (stable content
+    ids for lineage / incremental dedup)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def doc_fingerprint(text: Column, n: int = 3) -> Column:
+    """Document fingerprint = lexicographic min shingle digest — the
+    1-permutation MinHash over md5; equal fingerprints are near-dup
+    candidates, stable under small edits away from the minimum."""
+    return F.array_min(shingle_digests(text, n))

@@ -79,3 +79,20 @@ def test_lineitem_projection_prunes(spark):
     df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_quantity")
     cols = read_schema_columns(df)
     assert cols == ["l_quantity"], cols
+
+
+def test_minhash_banding_is_equi_join(spark):
+    """The LSH candidate join must plan as a hash/sort-merge EQUI-join on
+    (band_idx, band_hash) — a nested-loop/cartesian plan would mean the
+    banding key got lost and the operator degraded to O(n²) pair search."""
+    from swingstream.fixtures import gen_documents
+    from swingstream.operators.dedup import (
+        minhash_lsh_pairs_from_sigs,
+        minhash_sig_table,
+    )
+
+    docs = spark.createDataFrame(gen_documents(n_docs=60, vocab_size=500, seed=5))
+    sigs = minhash_sig_table(docs)
+    plan = minhash_lsh_pairs_from_sigs(sigs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
