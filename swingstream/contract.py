@@ -1054,6 +1054,59 @@ WHERE rk <= 5 ORDER BY query_id, rk
 """
 
 
+def q_emb_ivf_ann(spark, sf):
+    """IVF-ANN (k-means coarse quantizer + multi-probe): the
+    Spark-computed bucket assignments and centroids are staged; DuckDB
+    replays the relational probe + rank stages."""
+    _prep(spark)
+    from swingstream.operators.similarity import (
+        ivf_ann_topk_from_assignments,
+        ivf_assignments,
+    )
+
+    v = _t(spark, sf, "embeddings")
+    assigned, cdf = ivf_assignments(v, n_centroids=8, n_iters=3)
+    ap = _stage(assigned, "ivf_assign")
+    cp = _stage(cdf, "ivf_centroids")
+    return ivf_ann_topk_from_assignments(
+        spark.read.parquet(ap), spark.read.parquet(cp), _EMB_QUERY_IDS,
+        k=5, n_probe=2,
+    )
+
+
+SQL_EMB_IVF_ANN = f"""
+WITH a AS (
+  SELECT * FROM read_parquet('{_STAGE_ROOT}/ivf_assign/*.parquet')),
+c AS (
+  SELECT * FROM read_parquet('{_STAGE_ROOT}/ivf_centroids/*.parquet')),
+q AS (
+  SELECT cand_id AS query_id, vec AS qvec FROM a
+  WHERE cand_id IN (0, 1, 2, 3, 4)),
+probes AS (
+  SELECT query_id, qvec, cid AS bucket FROM (
+    SELECT q.query_id, q.qvec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             ROUND(list_dot_product(q.qvec, c.cvec)
+                   / (SQRT(list_dot_product(q.qvec, q.qvec))
+                      * SQRT(list_dot_product(c.cvec, c.cvec))), 9) DESC,
+             c.cid) AS prk
+    FROM q CROSS JOIN c)
+  WHERE prk <= 2),
+scored AS (
+  SELECT p.query_id, a.cand_id,
+         ROUND(list_dot_product(p.qvec, a.vec)
+               / (SQRT(list_dot_product(p.qvec, p.qvec))
+                  * SQRT(list_dot_product(a.vec, a.vec))), 9) AS cos
+  FROM a JOIN probes p ON a.bucket = p.bucket
+  WHERE a.cand_id <> p.query_id)
+SELECT query_id, cand_id, cos, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, cand_id) AS BIGINT) AS rk
+  FROM scored)
+WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+
 def q_media_features(spark, sf):
     _prep(spark)
     from swingstream.operators.multimodal import (
@@ -1601,6 +1654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_docs_ngram_jaccard_lsh": q_docs_ngram_jaccard_lsh,
     "q_docs_simhash": q_docs_simhash,
     "q_emb_ann_lsh": q_emb_ann_lsh,
+    "q_emb_ivf_ann": q_emb_ivf_ann,
     "q_media_features": q_media_features,
     "q_media_meta": q_media_meta,
     "q_na_drop": q_na_drop,
@@ -1659,6 +1713,7 @@ ORACLES: dict[str, str] = {
     "q_docs_ngram_jaccard_lsh": SQL_NGRAM_JACCARD_LSH,
     "q_docs_simhash": SQL_SIMHASH,
     "q_emb_ann_lsh": SQL_EMB_ANN_LSH,
+    "q_emb_ivf_ann": SQL_EMB_IVF_ANN,
     "q_pages_features": SQL_PAGES_FEATURES,
     "q_session_series": SQL_SESSION_SERIES,
     "q_swing_rank_agg": SQL_SWING_RANK_AGG,

@@ -292,6 +292,148 @@ def neardup_pairs_lsh_blas(
     )
 
 
+def ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means centroids (cosine geometry, unit-
+    normalized updates) — the IVF coarse quantizer.
+
+    Seeds = the n_centroids rows with smallest xxhash64(id) (no RNG);
+    each iteration is one broadcast-join assignment + one per-dimension
+    aggregate over the corpus.  Centroids are MODEL PARAMETERS —
+    n_centroids × dim doubles — so collecting them to the driver per
+    iteration is broadcast-scale, not a data collect.
+    """
+    import numpy as np
+
+    base = vectors.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    seeds = (
+        base.withColumn("h", F.xxhash64(F.col("id").cast("string")))
+        .orderBy("h", "id")
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.array([list(r["vec"]) for r in seeds], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1), 1e-12)[:, None]
+    spark = vectors.sparkSession
+    for _ in range(n_iters):
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(C)],
+            "cid int, cvec array<double>",
+        )
+        assigned = _assign_buckets(base, cdf)
+        sums = (
+            assigned.select("bucket", F.posexplode("vec").alias("dim", "x"))
+            .groupBy("bucket", "dim")
+            .agg(F.sum("x").alias("s"))
+            .collect()
+        )
+        newC = C.copy()
+        acc: dict[int, np.ndarray] = {}
+        for r in sums:
+            acc.setdefault(r["bucket"], np.zeros(C.shape[1]))[r["dim"]] = r["s"]
+        for cid, v in acc.items():
+            n = np.linalg.norm(v)
+            if n > 0:
+                newC[cid] = v / n
+        C = newC
+    return [[float(x) for x in c] for c in C]
+
+
+def _assign_buckets(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid (max cosine, tie -> smallest cid) per vector."""
+    scored = base.crossJoin(F.broadcast(centroids)).withColumn(
+        "cos", F.round(cosine(F.col("vec"), F.col("cvec")), 9)
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "vec", F.col("cid").alias("bucket"))
+    )
+
+
+def ivf_assignments(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(assignments (cand_id, vec, bucket), centroids (cid, cvec)) — the
+    staged intermediates of IVF-ANN; probing + ranking over them is
+    purely relational (SQL-oracle-able)."""
+    C = ivf_centroids(vectors, n_centroids, n_iters, id_col, vec_col)
+    spark = vectors.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(C)], "cid int, cvec array<double>"
+    )
+    base = vectors.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    assigned = _assign_buckets(base, cdf).withColumnRenamed("id", "cand_id")
+    return assigned, cdf
+
+
+def ivf_ann_topk_from_assignments(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Relational stage of IVF-ANN: per query, probe the n_probe nearest
+    centroids, exact-cosine-rank the candidates in those buckets."""
+    queries = assigned.where(F.col("cand_id").isin(query_ids)).select(
+        F.col("cand_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cid"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("pcos", F.round(cosine(F.col("qvec"), F.col("cvec")), 9))
+        .withColumn("prk", F.row_number().over(pw))
+        .where(F.col("prk") <= n_probe)
+        .select("query_id", "qvec", F.col("cid").alias("bucket"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "bucket")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("vec")), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cos", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+def ivf_ann_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: k-means coarse quantizer buckets + multi-probe —
+    the clustered-corpus complement to hyperplane LSH (lsh_ann_topk).
+    At 10^9-vector scale: centroids train on a sample, assignment is one
+    broadcast join, and each query touches n_probe/n_centroids of the
+    corpus."""
+    assigned, cdf = ivf_assignments(vectors, n_centroids, n_iters, id_col, vec_col)
+    return ivf_ann_topk_from_assignments(assigned, cdf, query_ids, k, n_probe)
+
+
 def neardup_pairs_cosine(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -85,3 +85,19 @@ def test_neardup_blas_has_no_driver_collect():
     for fn in (similarity.neardup_pairs_blas, similarity.neardup_pairs_lsh_blas):
         src = inspect.getsource(fn)
         assert ".collect(" not in src and "broadcast(" not in src, fn.__name__
+
+
+def test_ivf_ann_recall(spark, planted_vectors):
+    """IVF multi-probe must recover most exact top-5 neighbors while
+    touching only n_probe/n_centroids of the corpus per query."""
+    from swingstream.operators.similarity import brute_force_topk, ivf_ann_topk
+
+    qids = [0, 1, 2, 3, 4, 5, 6, 7]
+    exact = brute_force_topk(planted_vectors, qids, k=5).toPandas()
+    ivf = ivf_ann_topk(planted_vectors, qids, k=5, n_centroids=8,
+                       n_probe=3, n_iters=4).toPandas()
+    exact_sets = exact.groupby("query_id")["cand_id"].apply(set)
+    ivf_sets = ivf.groupby("query_id")["cand_id"].apply(set)
+    hits = sum(len(exact_sets[q] & ivf_sets.get(q, set())) for q in qids)
+    recall = hits / (5 * len(qids))
+    assert recall >= 0.7, f"IVF recall {recall:.2f}"

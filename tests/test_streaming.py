@@ -447,3 +447,62 @@ def test_session_pipeline_matches_batch(spark, tmp_path):
     b = batch_edges.sort_values(key).reset_index(drop=True)
     assert len(a) == len(b) and len(a) > 0
     pd.testing.assert_frame_equal(a[cols], b[cols])
+
+
+def test_scoring_query_checkpoint_resume(spark, tmp_path):
+    """T10 for query 2: kill the stateful scoring query mid-stream (after
+    a strict prefix of feature commits), resume from the same checkpoint
+    with the rest — final edge table byte-identical to a one-shot run."""
+    import time
+
+    rng = np.random.default_rng(9)
+    g = len(PARAMS.feature_names)
+    rows = []
+    for host in ("a.example.com", "b.example.com", "c.example.com"):
+        for b in range(36):
+            rows.append((host, b, pd.Timestamp(b * PARAMS.delta_seconds, unit="s"),
+                         [float(x) for x in rng.normal(size=g)]))
+    pdf = pd.DataFrame(rows, columns=["group_key", "bucket_idx", "bucket_ts",
+                                      "features"])
+    from swingstream.streaming.pipeline import FEATURE_SCHEMA
+    from swingstream.streaming.state import run_scoring_query
+
+    feat_table = IcebergLiteTable(str(tmp_path / "feats"))
+    order = pdf.sort_values(["bucket_idx", "group_key"]).reset_index(drop=True)
+    for i, chunk in enumerate(np.array_split(np.arange(len(order)), 6)):
+        feat_table.commit(i, spark.createDataFrame(order.iloc[chunk],
+                                                   FEATURE_SCHEMA), "bucket_ts",
+                          n_files=1)
+    batch_dirs = sorted(os.listdir(feat_table.data_dir))
+    assert len(batch_dirs) == 6
+
+    def copy_commits(names, dest, t0):
+        for j, d in enumerate(names):
+            src = os.path.join(feat_table.data_dir, d)
+            dst = os.path.join(dest, d)
+            shutil.copytree(src, dst)
+            for f in os.listdir(dst):
+                os.utime(os.path.join(dst, f), (t0 + 2 * j, t0 + 2 * j))
+
+    inc = str(tmp_path / "inc")
+    os.makedirs(inc)
+    t0 = time.time()
+    copy_commits(batch_dirs[:3], inc, t0)
+    t1 = run_scoring_query(spark, inc, str(tmp_path / "e1"),
+                           str(tmp_path / "ck"), PARAMS,
+                           list(PARAMS.feature_names))
+    rows_phase1 = t1.total_rows()
+    copy_commits(batch_dirs[3:], inc, t0 + 100)
+    t1b = run_scoring_query(spark, inc, str(tmp_path / "e1"),
+                            str(tmp_path / "ck"), PARAMS,
+                            list(PARAMS.feature_names))
+    ref = run_scoring_query(spark, feat_table.data_dir, str(tmp_path / "ref"),
+                            str(tmp_path / "ckR"), PARAMS,
+                            list(PARAMS.feature_names))
+    key = ["group_key", "win_start", "parent", "child", "lag"]
+    a = t1b.read(spark).toPandas().sort_values(key).reset_index(drop=True)
+    b = ref.read(spark).toPandas().sort_values(key).reset_index(drop=True)
+    assert 0 < rows_phase1 < len(b), "phase 1 must be a strict prefix"
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a[key + ["importance", "win_start_ts"]],
+                                  b[key + ["importance", "win_start_ts"]])
