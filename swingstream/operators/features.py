@@ -22,25 +22,44 @@ from pyspark.sql import functions as F
 from swingstream.config import SwingParams
 from swingstream.functions.textfns import digit_ratio, host_of, token_count
 
-# Partial (algebraic) aggregates from which every feature is derivable.
-# Keeping them sum/count-shaped is what makes the salted two-stage
-# aggregation exact: stage 2 just sums the partials.  (Function, not a
-# module constant: Column construction needs an active SparkContext.)
-def _partials() -> dict[str, Column]:
+# Per-row scalar features, computed BEFORE any shuffle: §4.3 pin #4
+# extended from `html` to `text` — the string payload is reduced to ~10
+# numerics on the scan side, so NO heavy column ever crosses an exchange
+# (the dedup state shuffle previously carried the full text).
+def _row_features() -> dict[str, Column]:
+    toks = token_count(F.col("text"))
     return {
-        "n_docs": F.count(F.lit(1)),
-        "sum_len": F.sum(F.length("text")),
-        "n_en": F.sum((F.col("lang") == "en").cast("long")),
-        "n_de": F.sum((F.col("lang") == "de").cast("long")),
-        "n_fr": F.sum((F.col("lang") == "fr").cast("long")),
-        "n_es": F.sum((F.col("lang") == "es").cast("long")),
-        "n_zz": F.sum((F.col("lang") == "zz").cast("long")),
-        "sum_tokens": F.sum(token_count(F.col("text"))),
-        "sum_digit_ratio": F.sum(digit_ratio(F.col("text"))),
+        "f_len": F.length("text").cast("long"),
+        "f_en": (F.col("lang") == "en").cast("long"),
+        "f_de": (F.col("lang") == "de").cast("long"),
+        "f_fr": (F.col("lang") == "fr").cast("long"),
+        "f_es": (F.col("lang") == "es").cast("long"),
+        "f_zz": (F.col("lang") == "zz").cast("long"),
+        "f_tokens": toks.cast("long"),
+        "f_digit": digit_ratio(F.col("text")),
         # fraction of long docs — algebraic (a streaming-state-friendly
         # feature; DISTINCT-style features need sketches at scale, and
         # exact distinct-count coverage lives in the contract queries)
-        "n_long": F.sum((token_count(F.col("text")) >= 20).cast("long")),
+        "f_long": (toks >= 20).cast("long"),
+    }
+
+
+# Partial (algebraic) aggregates over the per-row features.  Keeping
+# them sum/count-shaped is what makes the salted two-stage aggregation
+# exact: stage 2 just sums the partials.  (Functions, not module
+# constants: Column construction needs an active SparkContext.)
+def _partials() -> dict[str, Column]:
+    return {
+        "n_docs": F.count(F.lit(1)),
+        "sum_len": F.sum("f_len"),
+        "n_en": F.sum("f_en"),
+        "n_de": F.sum("f_de"),
+        "n_fr": F.sum("f_fr"),
+        "n_es": F.sum("f_es"),
+        "n_zz": F.sum("f_zz"),
+        "sum_tokens": F.sum("f_tokens"),
+        "sum_digit_ratio": F.sum("f_digit"),
+        "n_long": F.sum("f_long"),
     }
 
 
@@ -55,14 +74,16 @@ def deduplicate_pages(pages: DataFrame) -> DataFrame:
 
 
 def pages_to_bucketed(pages: DataFrame, params: SwingParams) -> DataFrame:
-    """Project + derive (host, bucket_idx); `html` pruned from the plan."""
+    """Project + derive (host, bucket_idx) + per-row scalar features;
+    `html` AND `text` are pruned from everything downstream — only
+    numerics flow past this narrow projection."""
     d = params.delta_seconds
     return pages.select(
         host_of(F.col("url")).alias("host"),
         (F.floor(F.unix_timestamp("warc_ts") / d)).cast("long").alias("bucket_idx"),
         "url",
-        "text",
-        "lang",
+        "warc_ts",
+        *[c.alias(k) for k, c in _row_features().items()],
     )
 
 
@@ -100,9 +121,11 @@ def host_bucket_features(
     # event time, or payload cannot be bucketed — IsNotNull filters that
     # push down to the scan
     pages = drop_incomplete(pages, subset=["url", "warc_ts", "text"])
-    if dedup:
-        pages = deduplicate_pages(pages)
+    # project to numerics FIRST, dedup after: the dedup exchange then
+    # shuffles ~10 scalars per row instead of the full text payload
     rows = pages_to_bucketed(pages, params)
+    if dedup:
+        rows = deduplicate_pages(rows)
     if not salted:
         partials = rows.groupBy("host", "bucket_idx").agg(
             *[a.alias(k) for k, a in _partials().items()]

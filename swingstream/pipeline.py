@@ -132,11 +132,22 @@ def session_series_batch(pages: DataFrame, params: SwingParams) -> DataFrame:
     from swingstream.functions.textfns import host_of
     from swingstream.operators.asof import sessionize
     from swingstream.operators.cleaning import drop_incomplete
-    from swingstream.operators.features import _partials, deduplicate_pages
+    from swingstream.operators.features import (
+        _partials,
+        _row_features,
+        deduplicate_pages,
+    )
 
-    rows = (
-        deduplicate_pages(drop_incomplete(pages, subset=["url", "warc_ts", "text"]))
-        .select(host_of(F.col("url")).alias("host"), "warc_ts", "text", "lang")
+    base = drop_incomplete(pages, subset=["url", "warc_ts", "text"])
+    # per-row numerics before the dedup shuffle (pin #4: text never
+    # crosses an exchange)
+    rows = deduplicate_pages(
+        base.select(
+            host_of(F.col("url")).alias("host"),
+            "url",
+            "warc_ts",
+            *[c.alias(k) for k, c in _row_features().items()],
+        )
     )
     # end_exclusive: Spark's session_window starts a new session at an
     # exact-gap arrival — the batch twin must too

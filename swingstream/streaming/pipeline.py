@@ -48,6 +48,7 @@ def feature_partials_stream(pages: DataFrame, params: SwingParams) -> DataFrame:
     column must never enter a stateful operator's exchange.
     """
     from swingstream.extract import extract_udf
+    from swingstream.operators.features import _row_features
 
     d = params.delta_seconds
     extracted = pages.select(
@@ -61,21 +62,23 @@ def feature_partials_stream(pages: DataFrame, params: SwingParams) -> DataFrame:
         F.min("warc_ts").alias("min_ts"),
         F.max("warc_ts").alias("max_ts"),
     )
-    deduped = (
-        extracted.withWatermark("warc_ts", params.watermark)
-        .dropDuplicatesWithinWatermark(["url", "warc_ts"])  # T8 exactly-once rows
-    )
-    rows = deduped.select(
-        host_of(F.col("url")).alias("host"),
-        "warc_ts",
+    # reduce text to per-row numerics BEFORE the dedup state shuffle —
+    # §4.3 pin #4 extended to text: no string payload ever crosses an
+    # exchange (dedup previously shuffled the full extracted text)
+    narrow = extracted.select(
         "url",
-        "text",
-        "lang",
+        "warc_ts",
+        host_of(F.col("url")).alias("host"),
         F.pmod(F.xxhash64("url"), F.lit(params.n_salts)).alias("salt"),
+        *[c.alias(k) for k, c in _row_features().items()],
+    )
+    deduped = (
+        narrow.withWatermark("warc_ts", params.watermark)
+        .dropDuplicatesWithinWatermark(["url", "warc_ts"])  # T8 exactly-once rows
     )
     # every partial is a plain sum/count => exact algebraic combine
     # across salts and a small fixed-size aggregation state per key
-    return rows.groupBy(
+    return deduped.groupBy(
         "host", F.window("warc_ts", f"{d} seconds").alias("win"), "salt"
     ).agg(*[a.alias(k) for k, a in _partials().items()])
 

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from swingstream.config import SwingParams
 from swingstream.functions.textfns import host_of
-from swingstream.operators.features import _partials
+from swingstream.operators.features import _partials, _row_features
 from swingstream.operators.scoring import EDGE_SCHEMA
 from swingstream.sources.catalog import IcebergLiteTable
 from swingstream.sources.pages import read_pages_stream
@@ -84,14 +84,19 @@ def session_features_stream(pages: DataFrame, params: SwingParams) -> DataFrame:
         F.min("warc_ts").alias("min_ts"),
         F.max("warc_ts").alias("max_ts"),
     )
+    # text reduced to numerics before the dedup shuffle (pin #4 — same
+    # as feature_partials_stream)
+    narrow = extracted.select(
+        "url",
+        "warc_ts",
+        host_of(F.col("url")).alias("host"),
+        *[c.alias(k) for k, c in _row_features().items()],
+    )
     deduped = (
-        extracted.withWatermark("warc_ts", params.watermark)
+        narrow.withWatermark("warc_ts", params.watermark)
         .dropDuplicatesWithinWatermark(["url", "warc_ts"])
     )
-    rows = deduped.select(
-        host_of(F.col("url")).alias("host"), "warc_ts", "text", "lang"
-    )
-    agg = rows.groupBy(
+    agg = deduped.groupBy(
         "host", F.session_window("warc_ts", params.session_gap).alias("win")
     ).agg(*[a.alias(k) for k, a in _partials().items()])
     # same 10 per-unit features as _finalize, with the session's real

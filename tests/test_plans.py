@@ -96,3 +96,28 @@ def test_minhash_banding_is_equi_join(spark):
     plan = minhash_lsh_pairs_from_sigs(sigs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_no_payload_columns_past_projection(spark, pages_df):
+    """Pin #4 (extended): neither html nor text may survive the narrow
+    scan-side projection — the dedup/agg exchanges shuffle numerics only."""
+    from swingstream.config import SwingParams
+    from swingstream.operators.features import host_bucket_features, pages_to_bucketed
+    from swingstream.sources.pages import pages_from_pandas
+
+    pages = pages_from_pandas(spark, pages_df)
+    params = SwingParams()
+    cols = set(pages_to_bucketed(pages, params).columns)
+    assert not ({"html", "text"} & cols), cols
+    # and the full plan's exchanges never materialize the payload: the
+    # only mention of text/html is in the scan-side projection
+    plan = (
+        host_bucket_features(pages, params, salted=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" in plan
+    # payload columns appear below (scan side of) every exchange, never
+    # as exchange outputs: check the Exchange node lines themselves
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line and "html#" not in line, line
