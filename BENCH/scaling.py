@@ -91,13 +91,18 @@ wall_cold, _ = run_once(stream_dir)               # warm-up (discarded)
 wall_half, _ = run_once(half_dir)                 # warm T(X)
 wall_warm, edge_rows = run_once(stream_dir)       # warm T(2X)
 marginal_docs = n_docs - half_docs
-marginal_sec = max(wall_warm - wall_half, 1e-6)
+# sanity guard: ambient host noise can make the half run SLOWER than the
+# full run (T_full <= T_half is physically impossible for the same warm
+# pipeline) — such a repeat is invalid, not a fast one; the parent
+# retries it
+valid = wall_warm > wall_half * 1.05
+marginal = marginal_docs / (wall_warm - wall_half) if valid else None
 print("RESULT " + json.dumps({{
     "cpus": cpus, "docs": n_docs,
     "wall_sec": round(wall_warm, 2),
     "wall_sec_cold": round(wall_cold, 2),
     "wall_sec_half": round(wall_half, 2),
-    "docs_per_sec": round(marginal_docs / marginal_sec, 1),
+    "docs_per_sec": round(marginal, 1) if marginal else None,
     "docs_per_sec_wall": round(n_docs / wall_warm, 1),
     "docs_per_sec_cold": round(n_docs / wall_cold, 1),
     "edge_rows": edge_rows,
@@ -157,9 +162,18 @@ def main() -> None:
         levels = [int(x) for x in sys.argv[2].split(",")]
     results = {}
     for c in levels:
-        runs = [run_level(c) for _ in range(repeats)]
+        runs, attempts = [], 0
+        while len(runs) < repeats and attempts < repeats + 3:
+            attempts += 1
+            r = run_level(c)
+            if r["docs_per_sec"] is None:
+                continue  # noise-invalidated repeat (T_full <= T_half)
+            runs.append(r)
+        if not runs:
+            raise RuntimeError(f"no valid repeat at cpus={c} after {attempts}")
         results[c] = max(runs, key=lambda r: r["docs_per_sec"])
         results[c]["all_docs_per_sec"] = [r["docs_per_sec"] for r in runs]
+        results[c]["attempts"] = attempts
     lo, hi = levels[0], levels[-1]
     speedup = results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]
     efficiency = speedup / (hi / lo)

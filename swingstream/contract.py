@@ -998,6 +998,36 @@ ORDER BY id_a, id_b
 """
 
 
+def q_docs_neardup_clusters(spark, sf):
+    """Near-dup cluster canonicalization: minhash-LSH pairs (staged) →
+    connected components → (id, cluster_id=min member).  DuckDB replays
+    the components with a recursive CTE over the same staged pairs."""
+    _prep(spark)
+    from swingstream.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, jaccard_threshold=0.3).select("id_a", "id_b")
+    path = _stage(pairs, "neardup_pairs")
+    return dedup_clusters(spark.read.parquet(path))
+
+
+SQL_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE e AS (
+  SELECT id_a AS src, id_b AS dst
+  FROM read_parquet('{_STAGE_ROOT}/neardup_pairs/*.parquet')
+  UNION ALL
+  SELECT id_b, id_a
+  FROM read_parquet('{_STAGE_ROOT}/neardup_pairs/*.parquet')),
+nodes AS (SELECT DISTINCT src AS id FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id ORDER BY id
+"""
+
+
 def q_docs_simhash(spark, sf):
     _prep(spark)
     from swingstream.operators.dedup import simhash_pairs_from_sigs, simhash_sig_table
@@ -1652,6 +1682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_emb_neardup": q_emb_neardup,
     "q_docs_minhash_lsh": q_docs_minhash_lsh,
     "q_docs_ngram_jaccard_lsh": q_docs_ngram_jaccard_lsh,
+    "q_docs_neardup_clusters": q_docs_neardup_clusters,
     "q_docs_simhash": q_docs_simhash,
     "q_emb_ann_lsh": q_emb_ann_lsh,
     "q_emb_ivf_ann": q_emb_ivf_ann,
@@ -1711,6 +1742,7 @@ ORACLES: dict[str, str] = {
     "q_roc_curve": SQL_ROC_CURVE,
     "q_docs_minhash_lsh": SQL_MINHASH_LSH,
     "q_docs_ngram_jaccard_lsh": SQL_NGRAM_JACCARD_LSH,
+    "q_docs_neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "q_docs_simhash": SQL_SIMHASH,
     "q_emb_ann_lsh": SQL_EMB_ANN_LSH,
     "q_emb_ivf_ann": SQL_EMB_IVF_ANN,

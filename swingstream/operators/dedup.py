@@ -349,6 +349,63 @@ def simhash_neardup_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph → canonical
+    cluster id (the component's min doc id) per member, so a dedup
+    pipeline can keep one survivor per cluster.
+
+    Iterative min-label propagation: label(v) ← min(label(v),
+    min_{u∈N(v)} label(u)) — one hash join + one aggregate per round,
+    converging in O(component diameter) rounds (near-dup clusters are
+    tiny cliques/chains; 20 rounds is generous).  The loop is
+    driver-CONTROLLED but never driver-DATA: the only thing collected is
+    the changed-row count.  Standard large-graph CC shape at 10^12-doc
+    scale — uniform hash keys, AQE-managed joins, per-round persist to
+    keep lineage flat.
+    """
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                labels.id.alias("id"),
+                F.least(
+                    labels.label, F.coalesce(nbr.nbr_label, labels.label)
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        "id", F.col("label").cast("long").alias("cluster_id")
+    ).orderBy("id")
+    sym.unpersist()
+    return out
+
+
 def ngram_jaccard_pairs_lsh(
     docs: DataFrame,
     text_col: str = "text",
