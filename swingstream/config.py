@@ -51,6 +51,14 @@ class SwingParams:
     watermark: str = "5 minutes"   # allowed event-time lateness
     session_gap: str = "5 minutes"  # session_window gap (T4)
     n_salts: int = 8               # hot-host salting fan-out (T11)
+    # In-stream exact-content dedup (LLM-data-pipeline op): drop rows
+    # whose (host, lang, md5(text)) already appeared in the SAME Δ-bucket.
+    # Scope is pinned per-(host, bucket) — not global — so the surviving
+    # copy is interchangeable (identical text ⇒ identical row features,
+    # same host, same bucket) and stream output is byte-identical to the
+    # batch twin at any parallelism / arrival order (§4.3 pin #1).
+    # Subsumes (url, warc_ts) transport dedup when enabled.
+    dedup_content: bool = False
 
     # --- feature space --------------------------------------------------
     feature_names: tuple[str, ...] = field(

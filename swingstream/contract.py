@@ -569,9 +569,10 @@ FROM (
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM (
     SELECT user_id, ts,
+           -- full-precision integer-microsecond gap, mirroring
+           -- asof.sessionize's unix_micros arithmetic exactly
            CASE WHEN prev_ts IS NULL
-                  OR CAST(FLOOR(epoch(ts)) AS BIGINT)
-                     - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
                 THEN 1 ELSE 0 END AS new_sess
     FROM (SELECT user_id, ts,
                  LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
@@ -1035,17 +1036,26 @@ def q_docs_simhash(spark, sf):
     d = _t(spark, sf, "documents")
     path = _stage(simhash_sig_table(d), "simhash_sigs")
     sigs = spark.read.parquet(path)
-    return simhash_pairs_from_sigs(sigs, max_hamming=16, prefix_bits=16)
+    return simhash_pairs_from_sigs(sigs, max_hamming=16, bands=4)
 
 
 SQL_SIMHASH = f"""
+-- multi-band OR-of-bands replay (simhash_band_bounds(4): 16/16/16/15-bit
+-- contiguous blocks of the 63-bit fingerprint)
 WITH p AS (
-  SELECT id, sh, sh >> 47 AS prefix
-  FROM read_parquet('{_STAGE_ROOT}/simhash_sigs/*.parquet'))
-SELECT a.id AS id_a, b.id AS id_b,
-       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-FROM p a JOIN p b ON a.prefix = b.prefix AND a.id < b.id
-WHERE bit_count(xor(a.sh, b.sh)) <= 16
+  SELECT id, sh FROM read_parquet('{_STAGE_ROOT}/simhash_sigs/*.parquet')),
+banded AS (
+  SELECT p.id, p.sh, t.band_idx,
+         (p.sh >> t.start) & ((1::BIGINT << t.width) - 1) AS band_val
+  FROM p, (VALUES (0, 0, 16), (1, 16, 16), (2, 32, 16), (3, 48, 15))
+           AS t(band_idx, start, width)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 16
 ORDER BY id_a, id_b
 """
 
@@ -1509,15 +1519,17 @@ WITH pages AS (
   FROM read_parquet('{_STAGE_ROOT}/pages_fixture_sess/*.parquet')),
 hosted AS (
   SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
-         CAST(FLOOR(epoch(warc_ts)) AS BIGINT) AS sec, warc_ts, text
+         epoch_us(warc_ts) AS us, warc_ts, text
   FROM pages),
 lagged AS (
-  SELECT host, warc_ts, text, sec,
-         LAG(sec) OVER (PARTITION BY host ORDER BY warc_ts) AS prev_sec
+  SELECT host, warc_ts, text, us,
+         LAG(us) OVER (PARTITION BY host ORDER BY warc_ts) AS prev_us
   FROM hosted),
 sess AS (
+  -- full-precision integer-microsecond gap (asof.sessionize twin):
+  -- session_window compares real timestamps, not second floors
   SELECT host, text,
-         SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec >= 40
+         SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 40 * 1000000
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY host ORDER BY warc_ts
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid

@@ -175,6 +175,9 @@ class PagesSpec:
     hot_factor: int = 8          # hot host emits 8x docs (skew fixture)
     dup_frac: float = 0.02       # exact-duplicate rows for dedup tests
     late_frac: float = 0.02      # rows arriving far out of order (late)
+    content_dup_frac: float = 0.0  # same text re-published at a NEW url
+    # (same host + Δ-bucket) — the in-stream content-dedup fixture; 0.0
+    # keeps round-1/2 goldens byte-identical
     seed: int = 42
     net: PlantedNetwork = field(default_factory=lambda: plant_network(10, seed=42))
 
@@ -289,6 +292,23 @@ def gen_pages(spec: PagesSpec = PagesSpec()) -> pd.DataFrame:
     n_dup = int(len(df) * spec.dup_frac)
     dup_idx = rng.choice(len(df), size=n_dup, replace=False)
     df = pd.concat([df, df.iloc[dup_idx]], ignore_index=True)
+    # content duplicates: identical (text, lang, html) republished at a
+    # DIFFERENT url on the same host, event time re-jittered within the
+    # SAME Δ-bucket — invisible to (url, warc_ts) transport dedup, the
+    # target of in-stream content dedup (params.dedup_content)
+    n_cdup = int(len(df) * spec.content_dup_frac)
+    if n_cdup:
+        src = df.iloc[rng.choice(len(df), size=n_cdup, replace=False)].copy()
+        src["url"] = [
+            f"https://{u.split('/')[2]}/cdup{i}" for i, u in enumerate(src["url"])
+        ]
+        bucket = src["warc_ts"].map(pd.Timestamp.timestamp) // spec.delta_seconds
+        src["warc_ts"] = pd.to_datetime(
+            (bucket * spec.delta_seconds * 1e6
+             + rng.uniform(0, spec.delta_seconds * 1e6, size=n_cdup)).astype("int64"),
+            unit="us",
+        ).astype("datetime64[us]")
+        df = pd.concat([df, src], ignore_index=True)
     # arrival order: mostly event order with local jitter; late_frac rows
     # deferred to the end of the arrival sequence (=> late beyond watermark)
     ts_ns = df["warc_ts"].to_numpy()

@@ -53,10 +53,23 @@ def sessionize(
     end_exclusive=True matches Spark's session_window exactly (an event
     arriving exactly ``gap_seconds`` after the previous one starts a NEW
     session); the default ``>`` is q_sessions' separately pinned batch
-    semantics."""
+    semantics.
+
+    Gaps are exact integer MICROSECONDS (unix_micros), never truncated
+    seconds: session_window compares full-precision timestamps, and a
+    second-floor gap diverges on sub-second data (prev=10.9s, cur=50.1s:
+    true gap 39.2s < 40 but floor gap 50-10=40 >= 40 — a phantom
+    boundary), which would break the pinned stream==batch session
+    parity."""
     w = Window.partitionBy(key).orderBy(ts)
-    gap = F.unix_timestamp(ts) - F.unix_timestamp(F.lag(ts, 1).over(w))
-    boundary = gap >= gap_seconds if end_exclusive else gap > gap_seconds
+    # cast("timestamp") so TIMESTAMP_NTZ inputs work too (unix_micros
+    # rejects NTZ); the session timezone is pinned UTC, so the cast is a
+    # pure type adjustment, not a wall-clock shift
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    prev_us = F.unix_micros(F.lag(ts, 1).over(w).cast("timestamp"))
+    gap = us - prev_us
+    gap_us = int(gap_seconds) * 1_000_000
+    boundary = gap >= gap_us if end_exclusive else gap > gap_us
     new_sess = F.when(gap.isNull() | boundary, 1).otherwise(0)
     return df.withColumn(
         "session_id",

@@ -74,8 +74,10 @@ def shingle_hashes_np(th: np.ndarray, n: int) -> np.ndarray:
     consecutive tokens (one whole-doc window when the doc is shorter) —
     the numpy twin of concat-then-hash shingling, at C speed instead of
     an interpreted slice+concat per shingle (which measured ~6 ms/doc).
-    Overflow-safe in int64: TH < 2^31 after mod-p, B^j < 2^30, so each
-    product < 2^61 and an n=3 window sum < 2^62.6.
+    Overflow-safe in int64 for ANY n: TH < 2^31 after mod-p and
+    coef < 2^31, so each product < 2^62; products are reduced mod p
+    PER TERM before the window sum, keeping the sum < n·2^31 (silent
+    int64 wrap would need n > 2^32 tokens per shingle).
     """
     TH = np.asarray(th, dtype=np.int64) % _MERSENNE31
     if TH.size == 0:
@@ -84,7 +86,7 @@ def shingle_hashes_np(th: np.ndarray, n: int) -> np.ndarray:
     coef = np.array([pow(_ROLL_BASE, L - 1 - j, _MERSENNE31) for j in range(L)],
                     dtype=np.int64)
     win = np.lib.stride_tricks.sliding_window_view(TH, L)
-    return np.unique((win * coef[None, :]).sum(axis=1) % _MERSENNE31)
+    return np.unique(((win * coef[None, :]) % _MERSENNE31).sum(axis=1) % _MERSENNE31)
 
 
 def _minhash_family(n_hashes: int):
@@ -317,19 +319,73 @@ def simhash_sig_table(
     ).select("id", "sh")
 
 
+def simhash_band_bounds(bands: int, total_bits: int = 63) -> list[tuple[int, int]]:
+    """(start_bit, width) per band — contiguous blocks covering all 63
+    fingerprint bits; the first ``total_bits % bands`` bands are one bit
+    wider.  Shared by the Spark operator, the DuckDB oracle generator,
+    and the recall test so all three replay identical banding."""
+    base, rem = divmod(total_bits, bands)
+    out, start = [], 0
+    for i in range(bands):
+        w = base + (1 if i < rem else 0)
+        out.append((start, w))
+        start += w
+    return out
+
+
 def simhash_pairs_from_sigs(
-    sigs: DataFrame, max_hamming: int = 8, prefix_bits: int = 16
+    sigs: DataFrame, max_hamming: int = 8, bands: int | None = None
 ) -> DataFrame:
-    """Relational stage of SimHash near-dup: equal high-``prefix_bits``
-    join, then hamming-distance filter via bit_count(xor)."""
-    d = sigs.withColumn("prefix", F.shiftright("sh", 63 - prefix_bits))
+    """Relational stage of SimHash near-dup: OR-of-bands candidate join,
+    then hamming-distance verify via bit_count(xor).
+
+    The fingerprint's 63 bits are split into ``bands`` contiguous blocks
+    and a pair is a candidate when ANY block matches exactly (explode →
+    equi-join on (band_idx, band_val) → dedup).  Pigeonhole: ``h``
+    differing bits corrupt at most ``h`` blocks, so recall is exactly
+    1.0 whenever ``bands > max_hamming`` — the DEFAULT
+    (``max_hamming + 1`` bands).  Fewer/wider bands give a smaller
+    candidate set but only probabilistic recall (4×16-bit bands measure
+    ~0.68 at hamming ≤ 8 on a uniform-spread distribution — see
+    test_simhash_multiband_recall), so wide bands are an explicit
+    opt-in.  At 10^12-doc scale the production-shaped config is the
+    Manku WWW'07 one: tight threshold (max_hamming ≤ 3) ⇒ 4 blocks of
+    16 bits — guaranteed recall AND 2^16-value join keys; a LOOSE
+    threshold forces narrow blocks (9×7 bits ⇒ 128-value keys), whose
+    bucket sizes only stay bounded under pre-partitioning by a coarse
+    shard key.  The single-prefix form this replaces had a structural
+    recall hole: a pair differing anywhere inside the one 16-bit prefix
+    was never a candidate regardless of total hamming.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    bounds = simhash_band_bounds(bands)
+    band_vals = F.array(
+        *[
+            F.shiftright("sh", start).bitwiseAND(F.lit((1 << width) - 1))
+            for start, width in bounds
+        ]
+    )
+    d = sigs.select(
+        "id", "sh", F.posexplode(band_vals).alias("band_idx", "band_val")
+    )
     a, b = d.alias("a"), d.alias("b")
-    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
-        a.join(b, (F.col("a.prefix") == F.col("b.prefix")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("hamming", ham.cast("int"))
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
         .where(F.col("hamming") <= max_hamming)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+        .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
 
@@ -339,71 +395,99 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
-    prefix_bits: int = 16,
+    bands: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: equal high-``prefix_bits`` join, then
-    hamming-distance filter via bit_count(xor).  Sig table persisted —
-    see minhash_lsh_pairs."""
+    """SimHash near-dup pairs: OR-of-bands candidate join + hamming
+    verify (see simhash_pairs_from_sigs; default band count guarantees
+    full recall).  Sig table persisted — see minhash_lsh_pairs."""
     return simhash_pairs_from_sigs(
-        simhash_sig_table(docs, text_col, id_col).persist(), max_hamming, prefix_bits
+        simhash_sig_table(docs, text_col, id_col).persist(), max_hamming, bands
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     """Connected components over a near-dup pair graph → canonical
     cluster id (the component's min doc id) per member, so a dedup
     pipeline can keep one survivor per cluster.
 
-    Iterative min-label propagation: label(v) ← min(label(v),
-    min_{u∈N(v)} label(u)) — one hash join + one aggregate per round,
-    converging in O(component diameter) rounds (near-dup clusters are
-    tiny cliques/chains; 20 rounds is generous).  The loop is
-    driver-CONTROLLED but never driver-DATA: the only thing collected is
-    the changed-row count.  Standard large-graph CC shape at 10^12-doc
-    scale — uniform hash keys, AQE-managed joins, per-round persist to
-    keep lineage flat.
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round hangs
+    every node under the minimum of its closed neighborhood, which
+    contracts paths by doubling — rounds scale with **log(diameter)**,
+    not diameter, so a 10^6-long template-spam chain (exactly what
+    near-dup graphs produce at web scale) converges in ~20 rounds where
+    plain min-label propagation would need 10^6.  Each round is one
+    self-join + aggregate on uniform keys; the loop is driver-CONTROLLED
+    but never driver-DATA (only the changed-edge count is collected).
+    If the graph somehow fails to converge within ``max_iters`` the
+    function RAISES rather than returning silently wrong cluster ids.
     """
+    # parent pointers: start with each node pointing at min(closed nbhd)
     sym = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).persist()
-    labels = (
-        sym.select(F.col("src").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
-        .persist()
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
     )
-    for _ in range(max_iters):
-        nbr = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+    # edges as (u, v) with u>v not required; parent = min neighbor ∪ self
+    # localCheckpoint per round: the parent table is referenced 3x per
+    # round (hop join, star join, changed-count join) — without lineage
+    # truncation the logical plan doubles every round and the DRIVER
+    # dies planning it long before any data-size limit (checkpointing a
+    # 10^9-row label table to the block manager is the standard CC shape)
+    parent = (
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("p"))
+        .select(F.col("u").alias("id"), F.least("p", "id").alias("parent"))
+        .localCheckpoint(eager=True)
+    )
+    edges = sym.localCheckpoint(eager=True)
+    for it in range(max_iters):
+        # pointer-doubling round: parent ← parent(parent)  (path halving)
+        p1 = parent.select(F.col("id").alias("pid"), F.col("parent").alias("gp"))
+        hopped = (
+            parent.join(p1, parent.parent == p1.pid)
+            .select("id", F.col("gp").alias("parent"))
         )
-        new_labels = (
-            labels.join(nbr, labels.id == nbr.src, "left")
-            .select(
-                labels.id.alias("id"),
-                F.least(
-                    labels.label, F.coalesce(nbr.nbr_label, labels.label)
-                ).alias("label"),
+        # star-contraction round: every node also adopts the min parent
+        # seen across its edges (keeps separate stars merging)
+        cand = (
+            edges.join(
+                hopped.select(F.col("id").alias("v"), F.col("parent").alias("vp")),
+                "v",
             )
-            .persist()
+            .groupBy("u")
+            .agg(F.min("vp").alias("nbr_min"))
+            .select(F.col("u").alias("id"), "nbr_min")
+        )
+        merged = (
+            hopped.join(cand, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("parent"), F.coalesce("nbr_min", F.col("parent"))
+                ).alias("parent"),
+            )
+            .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
+            merged.alias("n")
+            .join(parent.alias("o"), "id")
+            .where(F.col("n.parent") != F.col("o.parent"))
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        parent = merged
         if changed == 0:
             break
-    out = labels.select(
-        "id", F.col("label").cast("long").alias("cluster_id")
+    else:
+        raise RuntimeError(
+            f"dedup_clusters failed to converge in {max_iters} "
+            "large-star/small-star rounds — graph diameter pathologically "
+            "large or pair table inconsistent; refusing to return wrong "
+            "cluster ids"
+        )
+    return parent.select(
+        "id", F.col("parent").cast("long").alias("cluster_id")
     ).orderBy("id")
-    sym.unpersist()
-    return out
 
 
 def ngram_jaccard_pairs_lsh(

@@ -5,9 +5,10 @@ Reference: [ref: Swing/util/Evaluator.py::calc_roc, calc_pr ~L?]
 TP/FP, trapezoid the ROC and PR curves.
 
 Spark form: broadcast-join the (tiny) gold list onto the ranked edges,
-then cumulative window sums — the list is G² rows so the single-ordered
-window is deliberate, not a scale hazard (the 10^12-row side never
-reaches this operator; only aggregated edges do).
+then cumulative sums via the DISTRIBUTED range-partitioned prefix sum
+(cumulative_counts_scalable) — the default eval path, exact at any
+edge-list size.  Only the final trapezoid walks an ordered window, over
+already-aggregated curve points.
 """
 
 from __future__ import annotations
@@ -24,18 +25,26 @@ def label_edges(ranked: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
-def roc_pr_points(labeled: DataFrame) -> DataFrame:
-    """Cumulative TP/FP/TPR/FPR/precision/recall down the ranked list (W3)."""
-    order = Window.orderBy(F.asc("mean_rank"), F.asc("parent"), F.asc("child"))
-    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+def roc_pr_points(labeled: DataFrame, n_parts: int = 64) -> DataFrame:
+    """Cumulative TP/FP/TPR/FPR/precision/recall down the ranked list (W3).
+
+    DEFAULT path is the distributed prefix-sum
+    (cumulative_counts_scalable): range-partitioned per-partition
+    cumsums plus a broadcast offset join — exact integer tp/fp at any
+    list size, so the eval path itself survives a 100× scale-up instead
+    of routing through a single-task ``Window.orderBy``.  The only
+    collect here is the 1-row P/N totals aggregate."""
     totals = labeled.agg(
         F.sum("label").alias("P"), F.sum(1 - F.col("label")).alias("N")
     ).collect()[0]
     P, N = max(totals["P"] or 0, 1), max(totals["N"] or 0, 1)
+    cum = cumulative_counts_scalable(
+        labeled,
+        [F.asc("mean_rank"), F.asc("parent"), F.asc("child")],
+        n_parts=n_parts,
+    )
     return (
-        labeled.withColumn("tp", F.sum("label").over(cum))
-        .withColumn("fp", F.sum(1 - F.col("label")).over(cum))
-        .withColumn("tpr", F.col("tp") / P)
+        cum.withColumn("tpr", F.col("tp") / P)
         .withColumn("fpr", F.col("fp") / N)
         .withColumn("precision", F.col("tp") / (F.col("tp") + F.col("fp")))
         .withColumn("recall", F.col("tp") / P)

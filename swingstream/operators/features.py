@@ -73,16 +73,28 @@ def deduplicate_pages(pages: DataFrame) -> DataFrame:
     return pages.dropDuplicates(["url", "warc_ts"])
 
 
-def pages_to_bucketed(pages: DataFrame, params: SwingParams) -> DataFrame:
+def content_digest() -> Column:
+    """Content identity for exact dedup: md5 over (lang, text) — lang is
+    included so two survivors are fully interchangeable for every
+    per-row feature (f_en..f_zz read lang)."""
+    return F.md5(F.concat_ws("\x00", F.col("lang"), F.col("text")))
+
+
+def pages_to_bucketed(
+    pages: DataFrame, params: SwingParams, *, with_digest: bool = False
+) -> DataFrame:
     """Project + derive (host, bucket_idx) + per-row scalar features;
     `html` AND `text` are pruned from everything downstream — only
-    numerics flow past this narrow projection."""
+    numerics (plus the 32-char digest when content dedup is on) flow
+    past this narrow projection."""
     d = params.delta_seconds
+    extra = [content_digest().alias("digest")] if with_digest else []
     return pages.select(
         host_of(F.col("url")).alias("host"),
         (F.floor(F.unix_timestamp("warc_ts") / d)).cast("long").alias("bucket_idx"),
         "url",
         "warc_ts",
+        *extra,
         *[c.alias(k) for k, c in _row_features().items()],
     )
 
@@ -123,8 +135,13 @@ def host_bucket_features(
     pages = drop_incomplete(pages, subset=["url", "warc_ts", "text"])
     # project to numerics FIRST, dedup after: the dedup exchange then
     # shuffles ~10 scalars per row instead of the full text payload
-    rows = pages_to_bucketed(pages, params)
-    if dedup:
+    rows = pages_to_bucketed(pages, params, with_digest=params.dedup_content)
+    if params.dedup_content:
+        # content dedup subsumes transport dedup: identical (url, warc_ts)
+        # redeliveries share (host, digest, bucket) by construction.
+        # Streaming twin: dropDuplicatesWithinWatermark on the same key.
+        rows = rows.dropDuplicates(["host", "digest", "bucket_idx"]).drop("digest")
+    elif dedup:
         rows = deduplicate_pages(rows)
     if not salted:
         partials = rows.groupBy("host", "bucket_idx").agg(

@@ -80,6 +80,32 @@ class IcebergLiteTable:
         """
         if self.committed(batch_id):
             return None
+        import pyarrow.parquet as pq
+
+        label = f"{int(batch_id):010d}" if str(batch_id).isdigit() else str(batch_id)
+        final_dir = os.path.join(self.data_dir, f"batch-{label}")
+        if os.path.isdir(final_dir):
+            # Crash leftover: the dir-publish os.replace succeeded but the
+            # manifest write never happened.  The dir is therefore a
+            # COMPLETE copy of this batch's data (publish is atomic), and
+            # a concurrent file-stream reader listing data_dir may already
+            # hold these paths in its file-source log — deleting and
+            # republishing different part files could surface missing-file
+            # errors or re-keyed rows on its resume.  ADOPT the existing
+            # files (the pipeline is deterministic per §4.3 pin #1, so the
+            # recomputed batch has identical rows) and just write the
+            # manifest they were missing.
+            lineage = [
+                {
+                    "file": f"batch-{label}/{f}",
+                    "rows": pq.read_metadata(os.path.join(final_dir, f)).num_rows,
+                }
+                for f in sorted(os.listdir(final_dir))
+                if f.endswith(".parquet")
+            ]
+            return self._write_manifest(
+                batch_id, final_dir, lineage, event_time_col, extra_metrics
+            )
         if n_files is not None:
             # repartition, NOT coalesce: coalesce(1) would collapse the
             # whole upstream computation into a single task; repartition
@@ -93,8 +119,6 @@ class IcebergLiteTable:
         part_files = sorted(
             f for f in os.listdir(stage) if f.endswith(".parquet")
         )
-        label = f"{int(batch_id):010d}" if str(batch_id).isdigit() else str(batch_id)
-        final_dir = os.path.join(self.data_dir, f"batch-{label}")
         # Assemble the publishable dir under _tmp (underscore prefix =>
         # filtered by Spark's file listing, so a concurrent streaming
         # reader of data_dir can never observe a half-published path —
@@ -105,19 +129,26 @@ class IcebergLiteTable:
         pub = os.path.join(self.tmp_dir, f"publish-{label}")
         lineage = []
         os.makedirs(pub, exist_ok=True)
-        import pyarrow.parquet as pq
-
         for f in part_files:
             src = os.path.join(stage, f)
             md = pq.read_metadata(src)
             lineage.append({"file": f"batch-{label}/{f}", "rows": md.num_rows})
             os.replace(src, os.path.join(pub, f))
-        if os.path.isdir(final_dir):
-            # crash leftover from a publish that never wrote its manifest
-            # (readers trust manifests, so it was invisible garbage)
-            shutil.rmtree(final_dir)
         os.replace(pub, final_dir)  # atomic publish of the dir
         shutil.rmtree(stage, ignore_errors=True)
+        return self._write_manifest(
+            batch_id, final_dir, lineage, event_time_col, extra_metrics
+        )
+
+    def _write_manifest(
+        self,
+        batch_id: int | str,
+        final_dir: str,
+        lineage: list[dict],
+        event_time_col: str | None,
+        extra_metrics: dict | None,
+    ) -> dict:
+        import pyarrow.parquet as pq
 
         metrics: dict = {"rows": sum(e["rows"] for e in lineage)}
         if event_time_col is not None and metrics["rows"] > 0:

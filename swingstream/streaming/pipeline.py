@@ -64,17 +64,39 @@ def feature_partials_stream(pages: DataFrame, params: SwingParams) -> DataFrame:
     )
     # reduce text to per-row numerics BEFORE the dedup state shuffle —
     # §4.3 pin #4 extended to text: no string payload ever crosses an
-    # exchange (dedup previously shuffled the full extracted text)
+    # exchange (dedup previously shuffled the full extracted text; the
+    # 32-char content digest is the one small string allowed through
+    # when content dedup is on)
+    from swingstream.operators.features import content_digest
+
+    extra = []
+    if params.dedup_content:
+        extra = [
+            content_digest().alias("digest"),
+            F.floor(F.unix_timestamp("warc_ts") / d).cast("long").alias(
+                "bucket_key"
+            ),
+        ]
     narrow = extracted.select(
         "url",
         "warc_ts",
         host_of(F.col("url")).alias("host"),
         F.pmod(F.xxhash64("url"), F.lit(params.n_salts)).alias("salt"),
+        *extra,
         *[c.alias(k) for k, c in _row_features().items()],
+    )
+    # T8 exactly-once rows.  Content mode drops same-(host, bucket)
+    # content republications as well — one state op covers both, since
+    # (url, warc_ts) redeliveries share (host, digest, bucket) by
+    # construction (key scope pinned in SwingParams.dedup_content).
+    dedup_key = (
+        ["host", "digest", "bucket_key"]
+        if params.dedup_content
+        else ["url", "warc_ts"]
     )
     deduped = (
         narrow.withWatermark("warc_ts", params.watermark)
-        .dropDuplicatesWithinWatermark(["url", "warc_ts"])  # T8 exactly-once rows
+        .dropDuplicatesWithinWatermark(dedup_key)
     )
     # every partial is a plain sum/count => exact algebraic combine
     # across salts and a small fixed-size aggregation state per key

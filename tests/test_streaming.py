@@ -101,6 +101,27 @@ def test_sink_idempotent_and_lineage(spark, tmp_path):
     assert t.total_rows() == 110
 
 
+def test_sink_adopts_crash_orphaned_batch_dir(spark, tmp_path):
+    """Crash between dir-publish and manifest write: the retry must
+    ADOPT the already-published dir (a concurrent file-stream reader may
+    have listed it) rather than delete + republish different part files."""
+    import os
+
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    df = spark.range(50).selectExpr("id", "timestamp_seconds(id) AS ts")
+    t.commit(3, df, "ts")
+    # simulate the crash: data dir published, manifest lost
+    os.remove(t._manifest_path(3))
+    orphan_dir = os.path.join(t.data_dir, "batch-0000000003")
+    before = sorted(os.listdir(orphan_dir))
+    assert before, "orphan fixture must have published files"
+    m = t.commit(3, df, "ts")
+    assert m is not None and m["metrics"]["rows"] == 50
+    # the exact same part files survived — no path a reader listed vanished
+    assert sorted(os.listdir(orphan_dir)) == before
+    assert t.total_rows() == 50 and t.read(spark).count() == 50
+
+
 def test_feature_query_matches_watermark_oracle(spark, stream_dir, tmp_path):
     from swingstream.streaming.pipeline import run_feature_query
 
@@ -129,6 +150,61 @@ def test_feature_query_matches_watermark_oracle(spark, stream_dir, tmp_path):
         f for f in os.listdir(table.manifest_dir) if f.startswith("observed-")
     ]
     assert sidecars, "observe() sidecar metrics must be recorded"
+
+
+def test_streaming_content_dedup_matches_batch(spark, tmp_path):
+    """In-stream exact-content dedup (params.dedup_content): same text
+    republished at a different url in the same (host, Δ-bucket) is
+    dropped by the ONE dropDuplicatesWithinWatermark state op, and the
+    emitted feature vectors are byte-identical to the batch twin's —
+    regardless of which copy survives (the content key pins the scope so
+    survivors are interchangeable)."""
+    import dataclasses
+
+    from swingstream.operators.features import host_bucket_features
+    from swingstream.sources.pages import pages_from_pandas
+    from swingstream.streaming.pipeline import run_feature_query
+
+    params = dataclasses.replace(PARAMS, dedup_content=True)
+    spec = PagesSpec(
+        n_hosts=3, n_buckets=24, base_docs_per_bucket=4,
+        content_dup_frac=0.10, late_frac=0.0,
+    )
+    df = gen_pages(spec)
+    d = tmp_path / "cdup_stream"
+    write_pages_stream_dir(df, str(d), n_files=6)
+    table, _ = run_feature_query(
+        spark, str(d), str(tmp_path / "feat_cd"), str(tmp_path / "ck_cd"), params,
+        max_files_per_trigger=1,
+    )
+    got = table.read(spark).toPandas()
+    assert len(got) > 0
+
+    batch = host_bucket_features(
+        pages_from_pandas(spark, df), params, salted=True
+    ).toPandas()
+    # streaming emits only watermark-finalized windows — every emitted
+    # (host, bucket) must match the batch twin's vector exactly
+    bkey = {(r["group_key"], r["bucket_idx"]): list(r["features"])
+            for _, r in batch.iterrows()}
+    assert len(got) < len(bkey)  # tail buckets not yet finalized
+    for _, r in got.iterrows():
+        want = bkey[(r["group_key"], r["bucket_idx"])]
+        assert r["features"][0] == want[0]  # doc count: exact
+        # float features: identical row sets; summation order may differ
+        np.testing.assert_allclose(list(r["features"]), want, rtol=1e-12)
+
+    # and content dedup actually collapsed rows: doc counts are strictly
+    # below the no-content-dedup twin somewhere
+    plain = host_bucket_features(
+        pages_from_pandas(spark, df), PARAMS, salted=False
+    ).toPandas()
+    pkey = {(r["group_key"], r["bucket_idx"]): r["features"][0]
+            for _, r in plain.iterrows()}
+    assert any(
+        r["features"][0] < pkey[(r["group_key"], r["bucket_idx"])]
+        for _, r in got.iterrows()
+    )
 
 
 def test_scoring_stream_matches_batch(spark, stream_dir, tmp_path):
