@@ -23,6 +23,14 @@ prefix — fixed costs cancel in the difference.
 
 MEASUREMENT ROBUSTNESS (round-3 hardening; the round-2 estimate was
 best-of-2 over a noise-amplifying ratio with a one-sided guard):
+  * each level's child is CPU-AFFINITY-BOUND (taskset 0..cpus-1): Spark's
+    local[N] caps TASK SLOTS, not cores — RocksDB compaction/changelog
+    native threads, Python workers, and GC all run unbounded, and an
+    unbounded "local[2]" measured ~35% faster than a true 2-core budget
+    (76 s vs 102 s feature query, round-3 profiling).  A 2-executor
+    cluster gives the job 2 cores TOTAL, so binding is the faithful
+    proxy; without it the N-level over-performs and efficiency is biased
+    DOWN;
   * one warm JVM per level runs a discarded warm-up, then R alternating
     (half, full) pairs — each pair yields one marginal estimate;
   * a pair is VALID only if 1.3*T_half <= T_full <= 3.2*T_half — the
@@ -141,6 +149,41 @@ def cpu_calibration(levels) -> dict:
     return out
 
 
+def _burn_bw(_):
+    """Streaming-memcpy worker: per-core memory bandwidth (the substrate
+    term cache-resident hashing can't see — shuffle/Arrow/parquet decode
+    are all bandwidth-heavy)."""
+    import numpy as np
+    import time as _time
+
+    a = np.zeros(2**25)  # 256 MB
+    b = np.empty_like(a)
+    t0 = _time.time()
+    n = 0
+    while _time.time() - t0 < 4.0:
+        np.copyto(b, a)
+        n += 1
+    return n * a.nbytes * 2 / (_time.time() - t0)
+
+
+def bandwidth_calibration(levels) -> dict:
+    """Aggregate streaming-copy GB/s per worker count.  On this box
+    2->8 workers measured 29.1 -> 42.8 GB/s (scaling efficiency 0.37):
+    one core already drives over a third of the socket's bandwidth, so a
+    single-box core-count proxy UNDERSTATES a real cluster, where 4x
+    executors bring 4x memory controllers.  Recorded so the gate number
+    can be read against the substrate's own mixed ceiling."""
+    import multiprocessing as mp
+
+    out = {}
+    for w in levels:
+        with mp.Pool(w) as pool:
+            t0 = time.time()
+            total = sum(pool.map(_burn_bw, range(w)))
+            out[w] = round(total / 1e9, 2)
+    return out
+
+
 # symmetric pair-validity bounds on T_full / T_half (see module docstring)
 RATIO_FLOOR = 1.3
 RATIO_CEIL = 3.2
@@ -176,8 +219,13 @@ def median(xs):
 
 
 def run_level(cpus: int, repeats: int) -> dict:
+    cmd = [sys.executable, "-c", CHILD.format(repo=REPO), str(cpus), str(repeats)]
+    import shutil as _shutil
+
+    if _shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     proc = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=REPO), str(cpus), str(repeats)],
+        cmd,
         capture_output=True,
         text=True,
         cwd=REPO,
@@ -239,6 +287,7 @@ def main() -> None:
         / results[lo]["docs_per_sec_wall_median"]
     )
     calib = cpu_calibration(levels)
+    bw = bandwidth_calibration(levels)
     hw_eff = (calib[hi] / calib[lo]) / (hi / lo)
     out = {
         "metric": (
@@ -261,6 +310,9 @@ def main() -> None:
         },
         "cpu_calibration_hash_ops_per_sec": calib,
         "hardware_scaling_efficiency": round(hw_eff, 3),
+        "memory_bandwidth_gb_per_sec": bw,
+        "bandwidth_scaling_efficiency": round(
+            (bw[hi] / bw[lo]) / (hi / lo), 3),
     }
     print(json.dumps(out))
     with open(os.path.join(REPO, "BENCH", "results.jsonl"), "a") as fh:

@@ -154,29 +154,49 @@ def main() -> None:
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
 })
     t_all = time.time()
+    # Best-of-N warm repeats per query (N=2): round-over-round per-query
+    # deltas on this noise-contended host (ambient wall swings ~2x) were
+    # dominated by which repeat the noise hit, not by code.  The cache is
+    # cleared between repeats — Spark's CacheManager matches canonicalized
+    # plans, so a re-built identical query would otherwise silently reuse
+    # the first repeat's persisted signature tables.
+    repeats = int(os.environ.get("SWINGSTREAM_BENCH_REPEATS", "2"))
     queries: dict[str, float] = {}
+    query_repeats: dict[str, list[float]] = {}
+
+    def timed(name: str, build) -> None:
+        walls = []
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            walls.append(round(time.time() - t, 3))
+        queries[name] = min(walls)
+        query_repeats[name] = walls
+
     for name in HEADLINE:
-        t = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.time() - t, 3)
-    for name, df in _dedup_similarity(spark, sf_dir).items():
-        t = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.time() - t, 3)
+        timed(name, lambda n=name: QUERIES[n](spark, sf_dir))
+    dedup_names = list(_dedup_similarity(spark, sf_dir))
+    for name in dedup_names:
+        timed(name, lambda n=name: _dedup_similarity(spark, sf_dir)[n])
 
     params = SwingParams(
         window_width=8, step_size=1, min_lag=1, max_lag=3,
         method="lasso", alpha=0.05, watermark="5 minutes", n_salts=8,
         emit_zero_edges=False, solver_max_iter=150,
     )
-    streaming = run_streaming_bench(spark, params)
+    streaming_runs = [run_streaming_bench(spark, params) for _ in range(repeats)]
+    streaming = max(streaming_runs, key=lambda s: s["docs_per_sec"])
+    streaming["wall_sec_repeats"] = [s["wall_sec"] for s in streaming_runs]
     queries["streaming_swing_pipeline"] = streaming["wall_sec"]
+    query_repeats["streaming_swing_pipeline"] = streaming["wall_sec_repeats"]
 
     out = {
         "metric": "swingstream headline-query + streaming SWING pipeline wall time",
         "value": round(time.time() - t_all, 3),
         "unit": "sec",
         "queries": queries,
+        "query_repeats": query_repeats,
         "sf": sf,
         "cpus": int(cpus),
         "streaming": streaming,

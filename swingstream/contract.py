@@ -1029,6 +1029,44 @@ FROM reach GROUP BY id ORDER BY id
 """
 
 
+def q_docs_survivors(spark, sf):
+    """End-to-end dedup keep-list: minhash-LSH pairs (staged) → connected
+    components → one survivor (min id) per cluster → corpus filtered by
+    ONE left-anti join.  DuckDB replays components with a recursive CTE
+    over the same staged pairs and anti-joins the same loser set."""
+    _prep(spark)
+    from swingstream.operators.dedup import dedup_survivors, minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, jaccard_threshold=0.3).select("id_a", "id_b")
+    path = _stage(pairs, "neardup_pairs_surv")
+    kept = dedup_survivors(d, spark.read.parquet(path))
+    return kept.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    ).orderBy("doc_id")
+
+
+SQL_DOCS_SURVIVORS = f"""
+WITH RECURSIVE e AS (
+  SELECT id_a AS src, id_b AS dst
+  FROM read_parquet('{_STAGE_ROOT}/neardup_pairs_surv/*.parquet')
+  UNION ALL
+  SELECT id_b, id_a
+  FROM read_parquet('{_STAGE_ROOT}/neardup_pairs_surv/*.parquet')),
+nodes AS (SELECT DISTINCT src AS id FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+losers AS (
+  SELECT id FROM reach GROUP BY id HAVING id != MIN(r))
+SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT id FROM losers)
+ORDER BY doc_id
+"""
+
+
 def q_docs_simhash(spark, sf):
     _prep(spark)
     from swingstream.operators.dedup import simhash_pairs_from_sigs, simhash_sig_table
@@ -1695,6 +1733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_docs_minhash_lsh": q_docs_minhash_lsh,
     "q_docs_ngram_jaccard_lsh": q_docs_ngram_jaccard_lsh,
     "q_docs_neardup_clusters": q_docs_neardup_clusters,
+    "q_docs_survivors": q_docs_survivors,
     "q_docs_simhash": q_docs_simhash,
     "q_emb_ann_lsh": q_emb_ann_lsh,
     "q_emb_ivf_ann": q_emb_ivf_ann,
@@ -1755,6 +1794,7 @@ ORACLES: dict[str, str] = {
     "q_docs_minhash_lsh": SQL_MINHASH_LSH,
     "q_docs_ngram_jaccard_lsh": SQL_NGRAM_JACCARD_LSH,
     "q_docs_neardup_clusters": SQL_NEARDUP_CLUSTERS,
+    "q_docs_survivors": SQL_DOCS_SURVIVORS,
     "q_docs_simhash": SQL_SIMHASH,
     "q_emb_ann_lsh": SQL_EMB_ANN_LSH,
     "q_emb_ivf_ann": SQL_EMB_IVF_ANN,

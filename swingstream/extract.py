@@ -59,3 +59,31 @@ def _extract_series(html: pd.Series) -> pd.Series:
 
 # Arrow-vectorized extractor (SURVEY.md §2.2 P6, §2.9 U3).
 extract_udf = F.pandas_udf(_extract_series, returnType=StringType())
+
+
+def extract_expr(html: "F.Column") -> "F.Column":
+    """JVM-native twin of ``extract_udf`` — the HOT-PATH extractor.
+
+    The pinned extractor format is regular (one ``<article>`` body, three
+    HTML entities), so it is exactly expressible with built-in string
+    expressions: decode → regexp_extract((?s) non-greedy body) → ordered
+    literal entity replacement (&gt; → &lt; → &amp;, the exact inverse
+    order of ``escape_text``).  This keeps whole-stage codegen intact and
+    removes the Arrow round-trip of every html byte to a Python worker
+    and the extracted text back — measured ~25% of query-1 wall at
+    local[8] (BENCH/BASELINE.md §2, round 3).  Byte-equality with
+    ``extract_udf``/``extract`` is property-tested (t4) and asserted on
+    every fixture; a real-world extractor (boilerplate removal etc.)
+    would flip the default back to the Arrow-UDF form — the seam is the
+    ``extract_col`` selector below.
+    """
+    body = F.regexp_extract(F.decode(html, "UTF-8"),
+                            r"(?s)<article>(.*?)</article>", 1)
+    out = F.replace(body, F.lit("&gt;"), F.lit(">"))
+    out = F.replace(out, F.lit("&lt;"), F.lit("<"))
+    return F.replace(out, F.lit("&amp;"), F.lit("&"))
+
+
+def extract_col(html: "F.Column") -> "F.Column":
+    """Default extractor column used by the pipelines (JVM form)."""
+    return extract_expr(html)

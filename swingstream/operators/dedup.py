@@ -490,6 +490,25 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     ).orderBy("id")
 
 
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-list materialization — the last stage of a dedup pipeline:
+    every doc not in any near-dup pair survives; each connected
+    component keeps exactly its min-id member.
+
+    Scale shape: the cluster-label table is |members of dup clusters|
+    (≪ corpus size on real web data), and the corpus is filtered with
+    ONE left-anti hash join against the non-survivor ids — the
+    10^12-row side is never collected, sorted, or re-keyed.
+    """
+    labels = dedup_clusters(pairs)
+    losers = labels.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs_lsh(
     docs: DataFrame,
     text_col: str = "text",

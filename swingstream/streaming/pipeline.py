@@ -47,14 +47,14 @@ def feature_partials_stream(pages: DataFrame, params: SwingParams) -> DataFrame:
     dropped before the first shuffle — §4.3 pin #4: the heavy payload
     column must never enter a stateful operator's exchange.
     """
-    from swingstream.extract import extract_udf
+    from swingstream.extract import extract_col
     from swingstream.operators.features import _row_features
 
     d = params.delta_seconds
     extracted = pages.select(
         "url",
         "warc_ts",
-        extract_udf(F.col("html")).alias("text"),
+        extract_col(F.col("html")).alias("text"),
         "lang",
     ).observe(
         "pages_in",  # T7 observability: per-batch input volume + event-time

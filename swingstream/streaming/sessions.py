@@ -74,10 +74,10 @@ SESS_STATE_SCHEMA = StructType(
 
 def session_features_stream(pages: DataFrame, params: SwingParams) -> DataFrame:
     """extract (P6) → watermark → dedup → session-window feature agg."""
-    from swingstream.extract import extract_udf
+    from swingstream.extract import extract_col
 
     extracted = pages.select(
-        "url", "warc_ts", extract_udf(F.col("html")).alias("text"), "lang"
+        "url", "warc_ts", extract_col(F.col("html")).alias("text"), "lang"
     ).observe(
         "sess_pages_in",
         F.count(F.lit(1)).alias("rows"),

@@ -28,6 +28,36 @@ def test_fixture_invariant_all_rows():
         assert extract(html) == text
 
 
+def test_jvm_extract_expr_matches_python_extract(spark):
+    """The JVM hot-path extractor (extract_expr) must be byte-identical
+    to the pinned Python reference extractor AND the Arrow-UDF twin on
+    every fixture row plus adversarial strings (pre-escaped entities,
+    nested article tags, newlines, unicode)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from swingstream.extract import extract_expr, extract_udf
+
+    adversarial = [
+        "", "hello world", "a & b < c > d", "&amp; pre-escaped &lt;",
+        "unicode: héllo wörld — ✓", "nested <article>x</article> tag",
+        "line\nbreaks\n\neverywhere", "&gt;&lt;&amp;", "&&&<<<>>>",
+    ]
+    df = gen_pages(PagesSpec(n_hosts=3, n_buckets=10))
+    pdf = pd.DataFrame({
+        "html": list(df["html"]) + [render(t) for t in adversarial],
+        "text": list(df["text"]) + adversarial,
+    })
+    sdf = spark.createDataFrame(pdf)
+    out = sdf.select(
+        "text",
+        extract_expr(F.col("html")).alias("jvm"),
+        extract_udf(F.col("html")).alias("arrow"),
+    ).toPandas()
+    assert (out["jvm"] == out["text"]).all()
+    assert (out["arrow"] == out["text"]).all()
+
+
 def test_fixture_determinism():
     a = gen_pages(PagesSpec(n_hosts=3, n_buckets=8))
     b = gen_pages(PagesSpec(n_hosts=3, n_buckets=8))
