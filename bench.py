@@ -193,7 +193,10 @@ def main() -> None:
 
     out = {
         "metric": "swingstream headline-query + streaming SWING pipeline wall time",
-        "value": round(time.time() - t_all, 3),
+        # value = Σ best-of-N per-query walls — the round-over-round
+        # comparable number (total_wall_sec below includes every repeat)
+        "value": round(sum(queries.values()), 3),
+        "total_wall_sec": round(time.time() - t_all, 3),
         "unit": "sec",
         "queries": queries,
         "query_repeats": query_repeats,
