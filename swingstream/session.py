@@ -60,6 +60,14 @@ def get_spark(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
             "true",
         )
+        # skip the get-before-put RocksDB does to maintain numRowsTotal:
+        # the dedup op writes ~1M state rows per trigger and nothing in
+        # the engine reads that metric — measured ~8-9% off the feature
+        # query wall at both 2 and 8 bound cores (round 3)
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+            "false",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SWINGSTREAM_DRIVER_MEM", "8g"))
     )
