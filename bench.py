@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -75,7 +76,10 @@ def _dedup_similarity(spark, sf):
     docs = spark.read.parquet(_realistic_docs_path()).repartition(64)
     return {
         "q_docs_minhash_lsh_5k": minhash_lsh_pairs(docs, jaccard_threshold=0.5),
-        "q_docs_simhash_5k": simhash_neardup_pairs(docs, max_hamming=8),
+        # r4: scale-safe discovery default (max_hamming=3, 4x16-bit Manku
+        # bands + candidate guard) — earlier rounds benched the retired
+        # hamming<=8 / 9x7-band config, so walls are not like-for-like
+        "q_docs_simhash_5k": simhash_neardup_pairs(docs),
         "q_docs_ngram_jaccard_lsh_5k": ngram_jaccard_pairs_lsh(docs, threshold=0.8),
         "q_emb_neardup_blas": neardup_pairs_blas(
             spark.read.parquet(f"{sf}/embeddings.parquet"), threshold=0.3),
@@ -162,6 +166,7 @@ def main() -> None:
     # the first repeat's persisted signature tables.
     repeats = int(os.environ.get("SWINGSTREAM_BENCH_REPEATS", "2"))
     queries: dict[str, float] = {}
+    queries_median: dict[str, float] = {}
     query_repeats: dict[str, list[float]] = {}
 
     def timed(name: str, build) -> None:
@@ -172,6 +177,7 @@ def main() -> None:
             build().write.format("noop").mode("overwrite").save()
             walls.append(round(time.time() - t, 3))
         queries[name] = min(walls)
+        queries_median[name] = round(statistics.median(walls), 3)
         query_repeats[name] = walls
 
     for name in HEADLINE:
@@ -187,24 +193,66 @@ def main() -> None:
     )
     streaming_runs = [run_streaming_bench(spark, params) for _ in range(repeats)]
     streaming = max(streaming_runs, key=lambda s: s["docs_per_sec"])
-    streaming["wall_sec_repeats"] = [s["wall_sec"] for s in streaming_runs]
+    streaming["wall_sec_repeats"] = sorted(s["wall_sec"] for s in streaming_runs)
     queries["streaming_swing_pipeline"] = streaming["wall_sec"]
+    queries_median["streaming_swing_pipeline"] = round(
+        statistics.median(streaming["wall_sec_repeats"]), 3)
     query_repeats["streaming_swing_pipeline"] = streaming["wall_sec_repeats"]
 
     out = {
         "metric": "swingstream headline-query + streaming SWING pipeline wall time",
-        # value = Σ best-of-N per-query walls — the round-over-round
-        # comparable number (total_wall_sec below includes every repeat)
+        # Estimator stamp (see protocol below): "value" is the sum of
+        # best-of-N warm per-query walls. Rounds 1-2 recorded single-run
+        # walls under the same key — cross-round comparisons against rows
+        # without a "protocol" field are NOT like-for-like (best-of-N
+        # minima are biased low vs single runs). value_median is the
+        # robust companion estimator at zero extra runtime.
         "value": round(sum(queries.values()), 3),
+        "value_best_of_n": round(sum(queries.values()), 3),
+        "value_median": round(sum(queries_median.values()), 3),
+        "protocol": {
+            "estimator": f"sum of best-of-{repeats} warm per-query walls",
+            "since_round": 3,
+            "cache_cleared_between_repeats": True,
+        },
         "total_wall_sec": round(time.time() - t_all, 3),
         "unit": "sec",
         "queries": queries,
+        "queries_median": queries_median,
         "query_repeats": query_repeats,
         "sf": sf,
         "cpus": int(cpus),
         "streaming": streaming,
+        "scaling_gate": _scaling_gate_summary(),
     }
     print(json.dumps(out))
+
+
+def _scaling_gate_summary() -> dict | None:
+    """Latest N->4N scaling-gate evidence from BENCH/results.jsonl, embedded
+    here so the driver's bench readout and the gate evidence can't drift."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "results.jsonl")
+    try:
+        rows = [json.loads(line) for line in open(path) if line.strip()]
+    except OSError:
+        return None
+    gates = [r for r in rows if "scaling_efficiency" in r]
+    if not gates:
+        return None
+    g = gates[-1]
+    levels = sorted(int(k) for k in g.get("levels", {}))
+    lv = {str(k): g["levels"][str(k)] for k in levels}
+    return {
+        "metric": g.get("metric"),
+        "pair": f"local[{levels[0]}] -> local[{levels[-1]}]" if levels else None,
+        "scaling_efficiency": g.get("scaling_efficiency"),
+        "scaling_efficiency_wall": g.get("scaling_efficiency_wall"),
+        "target": g.get("target"),
+        "pass": g.get("pass"),
+        "n_pairs_valid": {k: v.get("n_pairs_valid") for k, v in lv.items()},
+        "ts": g.get("ts"),
+    }
 
 
 if __name__ == "__main__":

@@ -17,6 +17,13 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 
+def _duration_seconds(spec: str) -> int:
+    """'N seconds|minutes|hours' -> seconds."""
+    n, unit = spec.split()
+    mult = {"second": 1, "minute": 60, "hour": 3600}[unit.rstrip("s")]
+    return int(n) * mult
+
+
 @dataclass(frozen=True)
 class SwingParams:
     """SWING windowed-inference parameters + engine execution knobs."""
@@ -58,6 +65,12 @@ class SwingParams:
     # same host, same bucket) and stream output is byte-identical to the
     # batch twin at any parallelism / arrival order (§4.3 pin #1).
     # Subsumes (url, warc_ts) transport dedup when enabled.
+    # PRECONDITION: delta_seconds <= watermark. dropDuplicatesWithinWatermark
+    # only guarantees dedup for duplicates whose event times fall within the
+    # watermark delay, and same-bucket content dups can be up to
+    # delta_seconds apart — with delta > watermark the state for the first
+    # copy may be evicted before the second arrives, silently breaking the
+    # stream==batch parity pin. Validated in __post_init__ (raises).
     dedup_content: bool = False
 
     # --- feature space --------------------------------------------------
@@ -79,9 +92,24 @@ class SwingParams:
     @property
     def session_gap_seconds(self) -> int:
         """session_gap ('N seconds|minutes|hours') as seconds."""
-        n, unit = self.session_gap.split()
-        mult = {"second": 1, "minute": 60, "hour": 3600}[unit.rstrip("s")]
-        return int(n) * mult
+        return _duration_seconds(self.session_gap)
+
+    @property
+    def watermark_seconds(self) -> int:
+        """watermark ('N seconds|minutes|hours') as seconds."""
+        return _duration_seconds(self.watermark)
+
+    def __post_init__(self) -> None:
+        if self.dedup_content and self.delta_seconds > self.watermark_seconds:
+            raise ValueError(
+                "dedup_content=True requires delta_seconds <= watermark: "
+                f"same-bucket content duplicates can arrive up to "
+                f"delta_seconds={self.delta_seconds}s apart, but "
+                f"dropDuplicatesWithinWatermark only holds state for the "
+                f"watermark delay ({self.watermark!r} = "
+                f"{self.watermark_seconds}s) — widen the watermark to at "
+                f"least {self.delta_seconds} seconds or disable dedup_content"
+            )
 
     def lag_weight(self, k: int) -> float:
         """Weight applied to ranks at lag k in A4 rank aggregation.

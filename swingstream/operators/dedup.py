@@ -14,8 +14,10 @@ Scale design notes (10^12-document regime):
     shingle-Jaccard.  Signature tables persist across the self-join
     (or stage to parquet, which is also what the DuckDB oracle replays).
   * SimHash: 63-bit majority vote packed in an Arrow kernel over
-    JVM-side token hashes; near-dup = equal 16-bit prefix join then
-    bit_count(xor) hamming filter.
+    JVM-side token hashes; near-dup = OR-of-bands candidate equi-join
+    (default: Manku WWW'07 4×16-bit bands at max_hamming=3 — guaranteed
+    recall, ~2^16-value join keys) then bit_count(xor) hamming verify;
+    looser thresholds require a pre-blocking shard key.
   * n-gram Jaccard: exact pairwise within small blocking groups is the
     *verification* primitive; the discovery path at scale is
     ngram_jaccard_pairs_lsh (unigram-MinHash banded blocking).
@@ -38,6 +40,45 @@ def _fr6(c: Column) -> Column:
     return F.floor(c * 1000000.0 + 0.5) / 1000000.0
 
 _MERSENNE31 = 2_147_483_647  # 2^31 - 1
+
+
+def candidate_bound_check(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    n_rows: int,
+    op: str,
+    factor: float = 50.0,
+    min_candidates: int = 10_000_000,
+) -> None:
+    """Fail loudly when LSH banding degenerates to a near-cartesian join.
+
+    Σ|bucket|² over the banding key IS the exact row count the candidate
+    self-join will produce (before the id_a < id_b halving) — computed
+    here with one cheap aggregate on the (persisted) signature table, so
+    a degenerate corpus (tiny vocabulary, constant template pages) can't
+    silently re-create the O(n²) join that LSH exists to avoid, burn the
+    cluster, and *look* like a slow-but-working job.  The bound is
+    max(min_candidates, factor·n): small corpora are allowed their
+    harmless quadratic (500 degenerate docs → ~2M candidates — fine);
+    at production n the factor·n term keeps candidates linear in input.
+    """
+    bound = max(float(min_candidates), factor * float(n_rows))
+    total = (
+        bucketed.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("s"))
+        .first()["s"]
+    )
+    if total is not None and float(total) > bound:
+        raise RuntimeError(
+            f"{op}: degenerate LSH banding — Σ|bucket|² = {total:,} candidate "
+            f"pairs for n = {n_rows:,} input rows (bound {bound:,.0f}). The "
+            f"corpus collapses into few buckets (near-constant content or "
+            f"too-coarse band keys) and the candidate self-join would be "
+            f"near-cartesian at this scale. Pre-block on a shard key (host, "
+            f"digest prefix), tighten the banding, or pass "
+            f"candidate_guard=False to accept the quadratic join knowingly."
+        )
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -151,10 +192,16 @@ def minhash_lsh_pairs_from_sigs(
     n_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
+    candidate_guard: bool = False,
 ) -> DataFrame:
     """Relational stage of MinHash-LSH over a signature table:
     band-explode → equi-join on (band, band signature) → exact-Jaccard
-    verification on the carried shingle sets → threshold + order."""
+    verification on the carried shingle sets → threshold + order.
+
+    ``candidate_guard=True`` runs candidate_bound_check eagerly on the
+    banded keys first (default off here — the staged-oracle contract
+    path wants pure laziness; the discovery wrapper minhash_lsh_pairs
+    defaults it ON)."""
     rows_per_band = n_hashes // bands
     banded = sigs.select(
         "id",
@@ -169,6 +216,10 @@ def minhash_lsh_pairs_from_sigs(
                                      rows_per_band)),
         ),
     )
+    if candidate_guard:
+        candidate_bound_check(
+            banded, ["band_idx", "band_hash"], sigs.count(), "minhash_lsh_pairs"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -217,6 +268,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    candidate_guard: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact verification.
 
@@ -227,9 +279,14 @@ def minhash_lsh_pairs(
     otherwise recompute every signature once per join side × band.  At
     production scale, materialize it to a table instead (the contract
     path stages it to parquet — same shape).
+
+    The discovery path guards its banding (candidate_bound_check): a
+    degenerate corpus must fail loudly, not run O(n²) quietly.
     """
     sigs = minhash_sig_table(docs, text_col, id_col, n_hashes, shingle_n).persist()
-    return minhash_lsh_pairs_from_sigs(sigs, n_hashes, bands, jaccard_threshold)
+    return minhash_lsh_pairs_from_sigs(
+        sigs, n_hashes, bands, jaccard_threshold, candidate_guard=candidate_guard
+    )
 
 
 def ngram_jaccard_pairs(
@@ -334,7 +391,11 @@ def simhash_band_bounds(bands: int, total_bits: int = 63) -> list[tuple[int, int
 
 
 def simhash_pairs_from_sigs(
-    sigs: DataFrame, max_hamming: int = 8, bands: int | None = None
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    block_col: str | None = None,
+    candidate_guard: bool = False,
 ) -> DataFrame:
     """Relational stage of SimHash near-dup: OR-of-bands candidate join,
     then hamming-distance verify via bit_count(xor).
@@ -344,21 +405,40 @@ def simhash_pairs_from_sigs(
     equi-join on (band_idx, band_val) → dedup).  Pigeonhole: ``h``
     differing bits corrupt at most ``h`` blocks, so recall is exactly
     1.0 whenever ``bands > max_hamming`` — the DEFAULT
-    (``max_hamming + 1`` bands).  Fewer/wider bands give a smaller
-    candidate set but only probabilistic recall (4×16-bit bands measure
-    ~0.68 at hamming ≤ 8 on a uniform-spread distribution — see
-    test_simhash_multiband_recall), so wide bands are an explicit
-    opt-in.  At 10^12-doc scale the production-shaped config is the
-    Manku WWW'07 one: tight threshold (max_hamming ≤ 3) ⇒ 4 blocks of
-    16 bits — guaranteed recall AND 2^16-value join keys; a LOOSE
-    threshold forces narrow blocks (9×7 bits ⇒ 128-value keys), whose
-    bucket sizes only stay bounded under pre-partitioning by a coarse
-    shard key.  The single-prefix form this replaces had a structural
-    recall hole: a pair differing anywhere inside the one 16-bit prefix
-    was never a candidate regardless of total hamming.
+    (``max_hamming + 1`` bands).
+
+    The DEFAULT THRESHOLD is the scale-safe Manku WWW'07 shape:
+    ``max_hamming=3`` ⇒ 4 blocks of 15-16 bits — guaranteed recall AND
+    ~2^16-value join keys, so per-bucket size is ~n/2^16 and the
+    candidate self-join stays near-linear at 10^12 docs.  A LOOSER
+    threshold forces narrow blocks (e.g. hamming ≤ 8 ⇒ 9×7-bit bands ⇒
+    128-value keys ⇒ O(n²/128) candidates — a disguised cartesian at
+    web scale), so ``bands > 4`` additionally REQUIRES ``block_col``, a
+    pre-blocking shard key (host, digest prefix, language) carried in
+    ``sigs`` that the candidate join also equates on — bucket sizes
+    then stay bounded by block size, at the documented cost of missing
+    cross-block pairs.  Small-corpus verification twins that genuinely
+    want unblocked narrow bands opt in with ``block_col=""``.
+
+    ``candidate_guard=True`` additionally runs candidate_bound_check
+    eagerly on the banded keys (the discovery wrapper defaults it ON).
+
+    The retired single-prefix form had a structural recall hole: a pair
+    differing anywhere inside the one 16-bit prefix was never a
+    candidate regardless of total hamming.
     """
     if bands is None:
         bands = max_hamming + 1
+    if bands > 4 and block_col is None:
+        raise ValueError(
+            f"simhash banding with bands={bands} produces "
+            f"{2 ** (63 // bands)}-value band keys — O(n²/{2 ** (63 // bands)}) "
+            f"candidate pairs, a near-cartesian join at web scale. Pass "
+            f"block_col=<shard key column in sigs> to pre-block the "
+            f"candidate join (or block_col='' to knowingly run unblocked "
+            f"on a small corpus), or use max_hamming <= 3 (4×16-bit "
+            f"Manku bands)."
+        )
     bounds = simhash_band_bounds(bands)
     band_vals = F.array(
         *[
@@ -366,17 +446,24 @@ def simhash_pairs_from_sigs(
             for start, width in bounds
         ]
     )
+    blocked = bool(block_col)  # "" / None => unblocked
+    sel = ["id", "sh"] + ([block_col] if blocked else [])
     d = sigs.select(
-        "id", "sh", F.posexplode(band_vals).alias("band_idx", "band_val")
+        *sel, F.posexplode(band_vals).alias("band_idx", "band_val")
     )
+    if candidate_guard:
+        guard_cols = ["band_idx", "band_val"] + ([block_col] if blocked else [])
+        candidate_bound_check(d, guard_cols, sigs.count(), "simhash_neardup_pairs")
     a, b = d.alias("a"), d.alias("b")
+    cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    if blocked:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -394,14 +481,24 @@ def simhash_neardup_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     bands: int | None = None,
+    block_col: str | None = None,
+    candidate_guard: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: OR-of-bands candidate join + hamming
-    verify (see simhash_pairs_from_sigs; default band count guarantees
-    full recall).  Sig table persisted — see minhash_lsh_pairs."""
+    verify (see simhash_pairs_from_sigs; the default max_hamming=3 ⇒
+    4×16-bit Manku bands — guaranteed recall, scale-safe band keys).
+    Loose thresholds (bands > 4) require a pre-blocking ``block_col``
+    carried from ``docs``.  Sig table persisted — see minhash_lsh_pairs;
+    the discovery path guards its banding (candidate_bound_check)."""
+    sigs = simhash_sig_table(docs, text_col, id_col)
+    if block_col:
+        keyed = docs.select(F.col(id_col).alias("id"), F.col(block_col))
+        sigs = sigs.join(keyed, "id")
     return simhash_pairs_from_sigs(
-        simhash_sig_table(docs, text_col, id_col).persist(), max_hamming, bands
+        sigs.persist(), max_hamming, bands, block_col=block_col,
+        candidate_guard=candidate_guard,
     )
 
 

@@ -24,11 +24,14 @@ they name — the Iceberg snapshot-isolation model in miniature.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+_log = logging.getLogger(__name__)
 
 
 class IcebergLiteTable:
@@ -94,15 +97,37 @@ class IcebergLiteTable:
             # errors or re-keyed rows on its resume.  ADOPT the existing
             # files (the pipeline is deterministic per §4.3 pin #1, so the
             # recomputed batch has identical rows) and just write the
-            # manifest they were missing.
-            lineage = [
-                {
-                    "file": f"batch-{label}/{f}",
-                    "rows": pq.read_metadata(os.path.join(final_dir, f)).num_rows,
-                }
-                for f in sorted(os.listdir(final_dir))
-                if f.endswith(".parquet")
-            ]
+            # manifest they were missing.  The determinism pin only holds
+            # within one pipeline version, so cross-check the adopted
+            # files' parquet-footer schema against the recomputed df
+            # before committing them — a dir published by an older code
+            # version / different params must fail loudly, not be
+            # silently committed under a fresh manifest.
+            parts = sorted(
+                f for f in os.listdir(final_dir) if f.endswith(".parquet")
+            )
+            lineage = []
+            expected = [f.name for f in df.schema.fields]
+            for f in parts:
+                md = pq.read_metadata(os.path.join(final_dir, f))
+                adopted_cols = [
+                    c for c in md.schema.to_arrow_schema().names
+                ]
+                if adopted_cols != expected:
+                    raise ValueError(
+                        f"refusing to adopt orphaned batch dir {final_dir}: "
+                        f"parquet schema {adopted_cols} != recomputed batch "
+                        f"schema {expected} (stale data from a different "
+                        f"pipeline version?) — remove the dir to recompute"
+                    )
+                lineage.append(
+                    {"file": f"batch-{label}/{f}", "rows": md.num_rows}
+                )
+            _log.warning(
+                "adopting crash-orphaned batch dir %s: %d files, %d rows "
+                "(schema verified against recomputed batch)",
+                final_dir, len(lineage), sum(e["rows"] for e in lineage),
+            )
             return self._write_manifest(
                 batch_id, final_dir, lineage, event_time_col, extra_metrics
             )

@@ -122,6 +122,29 @@ def test_sink_adopts_crash_orphaned_batch_dir(spark, tmp_path):
     assert t.total_rows() == 50 and t.read(spark).count() == 50
 
 
+def test_sink_refuses_orphan_with_mismatched_schema(spark, tmp_path):
+    """The adoption path commits already-published files on the strength
+    of the pipeline determinism pin — which only holds within one code
+    version. A dir whose parquet schema differs from the recomputed
+    batch (stale data from an older version / different params) must be
+    refused, not silently committed under a fresh manifest."""
+    import os
+
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    old = spark.range(50).selectExpr("id", "timestamp_seconds(id) AS ts")
+    t.commit(3, old, "ts")
+    os.remove(t._manifest_path(3))
+    # retry recomputes the batch under NEW code: different columns
+    new = spark.range(50).selectExpr(
+        "id", "timestamp_seconds(id) AS ts", "id * 2 AS extra")
+    with pytest.raises(ValueError, match="refusing to adopt"):
+        t.commit(3, new, "ts")
+    assert not t.committed(3)  # nothing was committed
+    # matching schema still adopts fine
+    m = t.commit(3, old, "ts")
+    assert m is not None and m["metrics"]["rows"] == 50
+
+
 def test_feature_query_matches_watermark_oracle(spark, stream_dir, tmp_path):
     from swingstream.streaming.pipeline import run_feature_query
 
@@ -150,6 +173,26 @@ def test_feature_query_matches_watermark_oracle(spark, stream_dir, tmp_path):
         f for f in os.listdir(table.manifest_dir) if f.startswith("observed-")
     ]
     assert sidecars, "observe() sidecar metrics must be recorded"
+
+
+def test_content_dedup_requires_delta_within_watermark():
+    """dropDuplicatesWithinWatermark only holds state for the watermark
+    delay; same-bucket content dups can be delta_seconds apart, so
+    delta > watermark silently breaks stream==batch parity (e.g. the
+    DREAM4 tau=50min preset vs the 5-min default watermark). The config
+    must refuse that combination."""
+    import dataclasses
+
+    with pytest.raises(ValueError, match="delta_seconds <= watermark"):
+        SwingParams(dedup_content=True, delta_seconds=3000)
+    # auto-fix path: widening the watermark makes the same tau legal
+    ok = SwingParams(dedup_content=True, delta_seconds=3000, watermark="50 minutes")
+    assert ok.watermark_seconds == 3000
+    # dedup off: DREAM4 tau with default watermark stays legal
+    assert SwingParams(delta_seconds=3000).delta_seconds == 3000
+    # replace() re-runs validation too
+    with pytest.raises(ValueError):
+        dataclasses.replace(PARAMS, dedup_content=True, delta_seconds=3000)
 
 
 def test_streaming_content_dedup_matches_batch(spark, tmp_path):
