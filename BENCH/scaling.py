@@ -71,7 +71,11 @@ from swingstream.streaming.state import run_pipeline_concurrent
 
 cpus = int(sys.argv[1])
 repeats = int(sys.argv[2])
-spark = get_spark(master=f"local[{{cpus}}]", app_name=f"swingstream-scaling-{{cpus}}")
+fft = int(os.environ.get("SWINGSTREAM_SCALING_FFT", "16"))
+q2_mft = int(os.environ.get("SWINGSTREAM_SCALING_Q2_MFT", "4"))
+extra_conf = json.loads(os.environ.get("SWINGSTREAM_SCALING_CONF", "{{}}"))
+spark = get_spark(master=f"local[{{cpus}}]", app_name=f"swingstream-scaling-{{cpus}}",
+                  extra_conf=extra_conf)
 params = SwingParams(window_width=8, step_size=1, min_lag=1, max_lag=3,
                      method="lasso", alpha=0.05, watermark="5 minutes", n_salts=8,
                      emit_zero_edges=False, solver_max_iter=150)
@@ -100,7 +104,8 @@ def run_once(src):
     t0 = time.time()
     ft, et = run_pipeline_concurrent(spark, src, work, params,
                                      list(params.feature_names),
-                                     feature_files_per_trigger=16)
+                                     feature_files_per_trigger=fft,
+                                     q2_files_per_trigger=q2_mft)
     wall = time.time() - t0
     edge_rows = et.total_rows()
     shutil.rmtree(work, ignore_errors=True)
@@ -228,11 +233,20 @@ def run_level(cpus: int, repeats: int) -> dict:
 
     if _shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    env = dict(os.environ)
+    spp_per_core = os.environ.get("SWINGSTREAM_SCALING_SPP_PER_CORE")
+    if spp_per_core:
+        # state/shuffle partitions scaled to the level's core budget — a
+        # real N-executor deploy sizes spark.sql.shuffle.partitions to its
+        # total task slots (prod pins 64 for the 10^12-row table; the
+        # proxy levels here are 1/16th-scale core budgets)
+        env["SWINGSTREAM_SHUFFLE_PARTITIONS"] = str(int(spp_per_core) * cpus)
     proc = subprocess.run(
         cmd,
         capture_output=True,
         text=True,
         cwd=REPO,
+        env=env,
         timeout=7200,
     )
     pairs = [
@@ -246,10 +260,13 @@ def run_level(cpus: int, repeats: int) -> dict:
             f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
         )
     valid = [p["docs_per_sec"] for p in pairs if p["valid"]]
-    if len(valid) < 3:
+    # sweep mode (repeats<3) is exploratory ranking — accept any valid
+    # pair; the headline gate always runs repeats>=5 and keeps the >=3 bar
+    need = 3 if len(pairs) >= 3 else 1
+    if len(valid) < need:
         raise RuntimeError(
             f"cpus={cpus}: only {len(valid)}/{len(pairs)} guard-valid pairs "
-            f"(need >=3) — host too noisy for a defensible estimate; raw: "
+            f"(need >={need}) — host too noisy for a defensible estimate; raw: "
             + json.dumps(pairs)
         )
     return {
@@ -272,6 +289,8 @@ def run_level(cpus: int, repeats: int) -> dict:
 def main() -> None:
     levels = [1, 4]
     repeats = 5
+    tag = None
+    skip_calibration = False
     args = sys.argv[1:]
     while args:
         if args[0] == "--cpus":
@@ -280,6 +299,27 @@ def main() -> None:
         elif args[0] == "--repeats":
             repeats = int(args[1])
             args = args[2:]
+        elif args[0] == "--fft":
+            os.environ["SWINGSTREAM_SCALING_FFT"] = args[1]
+            args = args[2:]
+        elif args[0] == "--q2-mft":
+            os.environ["SWINGSTREAM_SCALING_Q2_MFT"] = args[1]
+            args = args[2:]
+        elif args[0] == "--conf":  # k=v, repeatable; forwarded to SparkSession
+            conf = json.loads(os.environ.get("SWINGSTREAM_SCALING_CONF", "{}"))
+            k, v = args[1].split("=", 1)
+            conf[k] = v
+            os.environ["SWINGSTREAM_SCALING_CONF"] = json.dumps(conf)
+            args = args[2:]
+        elif args[0] == "--spp-per-core":
+            os.environ["SWINGSTREAM_SCALING_SPP_PER_CORE"] = args[1]
+            args = args[2:]
+        elif args[0] == "--tag":
+            tag = args[1]
+            args = args[2:]
+        elif args[0] == "--skip-calibration":
+            skip_calibration = True
+            args = args[1:]
         else:
             raise SystemExit(f"unknown arg {args[0]}")
     results = {c: run_level(c, repeats) for c in levels}
@@ -290,9 +330,13 @@ def main() -> None:
         results[hi]["docs_per_sec_wall_median"]
         / results[lo]["docs_per_sec_wall_median"]
     )
-    calib = cpu_calibration(levels)
-    bw = bandwidth_calibration(levels)
-    hw_eff = (calib[hi] / calib[lo]) / (hi / lo)
+    if skip_calibration:
+        calib = bw = None
+        hw_eff = None
+    else:
+        calib = cpu_calibration(levels)
+        bw = bandwidth_calibration(levels)
+        hw_eff = (calib[hi] / calib[lo]) / (hi / lo)
     out = {
         "metric": (
             f"streaming SWING pipeline scaling N->4N "
@@ -313,11 +357,23 @@ def main() -> None:
             "repeats_requested": repeats,
         },
         "cpu_calibration_hash_ops_per_sec": calib,
-        "hardware_scaling_efficiency": round(hw_eff, 3),
+        "hardware_scaling_efficiency": round(hw_eff, 3) if hw_eff else None,
         "memory_bandwidth_gb_per_sec": bw,
         "bandwidth_scaling_efficiency": round(
-            (bw[hi] / bw[lo]) / (hi / lo), 3),
+            (bw[hi] / bw[lo]) / (hi / lo), 3) if bw else None,
+        "trigger_config": {
+            "feature_files_per_trigger": int(
+                os.environ.get("SWINGSTREAM_SCALING_FFT", "16")),
+            "q2_files_per_trigger": int(
+                os.environ.get("SWINGSTREAM_SCALING_Q2_MFT", "4")),
+            "extra_conf": json.loads(
+                os.environ.get("SWINGSTREAM_SCALING_CONF", "{}")),
+            "shuffle_partitions_per_core": os.environ.get(
+                "SWINGSTREAM_SCALING_SPP_PER_CORE"),
+        },
     }
+    if tag:
+        out["tag"] = tag
     print(json.dumps(out))
     with open(os.path.join(REPO, "BENCH", "results.jsonl"), "a") as fh:
         fh.write(json.dumps({"ts": time.time(), **out}) + "\n")

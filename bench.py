@@ -122,10 +122,12 @@ def run_streaming_bench(spark, params) -> dict:
     stream_dir, n_docs = _bench_stream_dir()
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="swingstream-bench-run-", dir=shm)
+    fft = int(os.environ.get("SWINGSTREAM_BENCH_FFT", "16"))
+    q2_mft = int(os.environ.get("SWINGSTREAM_BENCH_Q2_MFT", "4"))
     t0 = time.time()
     feat_table, edges_table = run_pipeline_concurrent(
         spark, stream_dir, work, params, list(params.feature_names),
-        feature_files_per_trigger=16,
+        feature_files_per_trigger=fft, q2_files_per_trigger=q2_mft,
     )
     wall = time.time() - t0
     out = {

@@ -582,9 +582,36 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             "large or pair table inconsistent; refusing to return wrong "
             "cluster ids"
         )
+    # cluster_id keeps the id column's own type (long doc ids, string
+    # urls, ...) — the cast is a no-op for homogeneous pairs but pins the
+    # output schema when the CC loop widened a literal
+    id_type = pairs.schema["id_a"].dataType
     return parent.select(
-        "id", F.col("parent").cast("long").alias("cluster_id")
+        "id", F.col("parent").cast(id_type).alias("cluster_id")
     ).orderBy("id")
+
+
+def exact_dup_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_a, id_b) star pairs per exact-content duplicate group — the
+    digest-group min id paired with every other member.  A star spans
+    the same connected component as the full clique at |group| edges
+    instead of |group|², and exact equality is transitive, so CC over
+    these pairs equals CC over all-pairs equality.
+    """
+    d = docs.select(F.col(id_col).alias("m_id"), F.md5(F.col(text_col)).alias("digest"))
+    dups = exact_duplicates(docs, text_col, id_col)  # (digest, n_copies, keep_id)
+    # digest-keyed equi-join: uniform shuffle key, dup-group side is
+    # |groups| rows (not broadcast — unbounded at corpus scale)
+    return (
+        d.join(dups, "digest")
+        .where(F.col("m_id") != F.col("keep_id"))
+        .select(
+            F.least("keep_id", "m_id").alias("id_a"),
+            F.greatest("keep_id", "m_id").alias("id_b"),
+        )
+    )
 
 
 def dedup_survivors(

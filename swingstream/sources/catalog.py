@@ -58,9 +58,22 @@ class IcebergLiteTable:
                     out.append(json.load(fh))
         return out
 
+    def active_manifests(self) -> list[dict]:
+        """Manifests still visible to readers: a compaction commit lists
+        the batch_ids it REPLACES (Iceberg's replace-operation snapshot in
+        miniature); replaced manifests stay on disk as history/lineage but
+        no longer contribute data files.  A later compaction supersedes an
+        earlier one the same way (its ``replaces`` includes the earlier
+        compaction's id)."""
+        all_m = self.manifests()
+        replaced: set[str] = set()
+        for m in all_m:
+            replaced.update(str(b) for b in m.get("replaces", []))
+        return [m for m in all_m if str(m["batch_id"]) not in replaced]
+
     def data_files(self) -> list[str]:
         files: list[str] = []
-        for m in self.manifests():
+        for m in self.active_manifests():
             files.extend(m["files"])
         return files
 
@@ -72,6 +85,8 @@ class IcebergLiteTable:
         event_time_col: str | None = None,
         extra_metrics: dict | None = None,
         n_files: int | None = None,
+        operation: str | None = None,
+        replaces: list | None = None,
     ) -> dict | None:
         """Idempotent append of one micro-batch.  Returns the manifest,
         or None when the batch was already committed (replay no-op).
@@ -80,6 +95,11 @@ class IcebergLiteTable:
         consumer needs whole commits per trigger: set n_files=1 and
         maxFilesPerTrigger=k to consume k commits atomically, in commit
         order — data dirs are zero-padded so path order == commit order).
+
+        ``operation``/``replaces`` turn the commit into a REPLACE snapshot
+        (Iceberg rewrite semantics): the listed batch_ids become invisible
+        to readers once this manifest lands — atomically, since visibility
+        flips on the single manifest write (see active_manifests).
         """
         if self.committed(batch_id):
             return None
@@ -129,7 +149,8 @@ class IcebergLiteTable:
                 final_dir, len(lineage), sum(e["rows"] for e in lineage),
             )
             return self._write_manifest(
-                batch_id, final_dir, lineage, event_time_col, extra_metrics
+                batch_id, final_dir, lineage, event_time_col, extra_metrics,
+                operation, replaces,
             )
         if n_files is not None:
             # repartition, NOT coalesce: coalesce(1) would collapse the
@@ -162,7 +183,8 @@ class IcebergLiteTable:
         os.replace(pub, final_dir)  # atomic publish of the dir
         shutil.rmtree(stage, ignore_errors=True)
         return self._write_manifest(
-            batch_id, final_dir, lineage, event_time_col, extra_metrics
+            batch_id, final_dir, lineage, event_time_col, extra_metrics,
+            operation, replaces,
         )
 
     def _write_manifest(
@@ -172,6 +194,8 @@ class IcebergLiteTable:
         lineage: list[dict],
         event_time_col: str | None,
         extra_metrics: dict | None,
+        operation: str | None = None,
+        replaces: list | None = None,
     ) -> dict:
         import pyarrow.parquet as pq
 
@@ -210,6 +234,10 @@ class IcebergLiteTable:
             "partitions": lineage,
             "metrics": metrics,
         }
+        if operation is not None:
+            manifest["operation"] = operation
+        if replaces:
+            manifest["replaces"] = list(replaces)
         tmp_manifest = self._manifest_path(batch_id) + ".tmp"
         with open(tmp_manifest, "w") as fh:
             json.dump(manifest, fh, indent=1, default=str)
@@ -229,4 +257,4 @@ class IcebergLiteTable:
         return reader.parquet(*files)
 
     def total_rows(self) -> int:
-        return sum(m["metrics"]["rows"] for m in self.manifests())
+        return sum(m["metrics"]["rows"] for m in self.active_manifests())

@@ -323,11 +323,18 @@ def run_pipeline_concurrent(
     names: list[str],
     *,
     feature_files_per_trigger: int = 16,
+    q2_files_per_trigger: int = 4,
 ):
     """Production topology: query 1 (features) and query 2 (scoring) run
     CONCURRENTLY — query 2 tails query 1's commits as they land, so the
     stateful scoring overlaps the feature aggregation instead of waiting
     for the whole staging table.  Returns (feature_table, edges_table).
+
+    The two trigger knobs trade per-trigger fixed cost (driver planning,
+    offset/commit log writes, micro-batch barrier, one RocksDB commit
+    cycle per state partition) against pipelining granularity: fewer,
+    larger triggers amortize the fixed cost — the dominant term at small
+    core budgets — while more, smaller triggers tighten the q1→q2 overlap.
     """
     import os
 
@@ -361,6 +368,7 @@ def run_pipeline_concurrent(
         params,
         names,
         available_now=False,
+        max_files_per_trigger=q2_files_per_trigger,
     )
     q1.awaitTermination()
     q2.processAllAvailable()  # drain everything query 1 committed

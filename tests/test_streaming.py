@@ -10,6 +10,7 @@ import shutil
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from swingstream.config import SwingParams
 from swingstream.fixtures import PagesSpec, gen_pages, write_pages_stream_dir
@@ -143,6 +144,98 @@ def test_sink_refuses_orphan_with_mismatched_schema(spark, tmp_path):
     # matching schema still adopts fine
     m = t.commit(3, old, "ts")
     assert m is not None and m["metrics"]["rows"] == 50
+
+
+def test_streaming_dedup_compaction_matches_one_shot_batch(spark, tmp_path):
+    """Periodic dedup compaction over the streaming corpus table (the
+    LLM-data maintenance loop): appends land per micro-batch, every 2nd
+    commit a between-trigger batch job rewrites the active snapshot to
+    survivors via a REPLACE manifest, and a final pass runs at drain.
+    The end state must equal the one-shot batch dedup_survivors over
+    the full corpus (exact-content components are cliques, so
+    incremental == one-shot — see compaction.py), the ledger must show
+    compaction lineage, and a replayed compaction id must be a no-op."""
+    from swingstream.operators.dedup import dedup_survivors, exact_dup_pairs
+    from swingstream.sources.pages import pages_from_pandas, read_pages_stream
+    from swingstream.streaming.compaction import (
+        compact_dedup,
+        run_corpus_stream_with_compaction,
+    )
+
+    spec = PagesSpec(
+        n_hosts=3, n_buckets=20, base_docs_per_bucket=4,
+        content_dup_frac=0.15, late_frac=0.0,
+    )
+    pdf = gen_pages(spec)
+    assert pdf.duplicated(["url", "warc_ts"]).any(), \
+        "fixture must contain transport redeliveries (T8 input)"
+    d = tmp_path / "corpus_stream"
+    write_pages_stream_dir(pdf, str(d), n_files=6)
+
+    # the corpus row id is (url, warc_ts) — a url re-crawled at a later
+    # time is a distinct document, so the dedup id must carry both;
+    # transport redeliveries (identical url+warc_ts) are removed by the
+    # engine's T8 in-stream dedup BEFORE the corpus append, exactly as
+    # the production topology layers it
+    def with_uid(df):
+        return df.withColumn(
+            "row_uid",
+            F.concat_ws("@", "url", F.unix_micros(
+                F.col("warc_ts").cast("timestamp")).cast("string")),
+        )
+
+    stream = with_uid(
+        read_pages_stream(spark, str(d), max_files_per_trigger=1)
+        .withWatermark("warc_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["url", "warc_ts"])
+    )
+    table = run_corpus_stream_with_compaction(
+        spark, stream, str(tmp_path / "corpus"), str(tmp_path / "ck"),
+        id_col="row_uid", every=2,
+    )
+
+    all_pages = with_uid(
+        pages_from_pandas(spark, pdf).dropDuplicates(["url", "warc_ts"])
+    )
+    expected = dedup_survivors(
+        all_pages, exact_dup_pairs(all_pages, id_col="row_uid"), "row_uid"
+    ).toPandas()
+    assert len(expected) < pdf.drop_duplicates(["url", "warc_ts"]).shape[0], \
+        "fixture must contain exact-content dups beyond transport copies"
+
+    got = table.read(spark).toPandas()
+    key = ["url", "warc_ts"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = expected[got.columns].sort_values(key).reset_index(drop=True)
+    assert got_s["url"].tolist() == exp_s["url"].tolist()
+    assert got_s["text"].tolist() == exp_s["text"].tolist()
+    assert table.total_rows() == len(expected)
+
+    # ledger: compaction manifests carry operation + replaces lineage,
+    # and the active snapshot is exactly the latest rewrite
+    all_m = table.manifests()
+    compactions = [m for m in all_m if m.get("operation") == "dedup-compaction"]
+    assert compactions, "at least one compaction manifest must exist"
+    assert all(m.get("replaces") for m in compactions)
+    assert all("rows_in" in m["metrics"] for m in compactions)
+    # (when the last append batch already triggered a periodic pass, the
+    # final drain pass is a structural no-op and the active snapshot is
+    # that periodic rewrite)
+    active = table.active_manifests()
+    assert len(active) == 1
+    assert active[0].get("operation") == "dedup-compaction"
+
+    # exactly-once: replaying any committed compaction id is a no-op,
+    # and an idle re-compaction of an already-compacted snapshot too
+    assert compact_dedup(
+        spark, table, lambda dd: exact_dup_pairs(dd, id_col="url"),
+        id_col="url", compaction_id=compactions[0]["batch_id"],
+    ) is None
+    assert compact_dedup(
+        spark, table, lambda dd: exact_dup_pairs(dd, id_col="url"),
+        id_col="url",
+    ) is None
+    assert table.total_rows() == len(expected)
 
 
 def test_feature_query_matches_watermark_oracle(spark, stream_dir, tmp_path):
