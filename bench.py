@@ -194,6 +194,18 @@ def main() -> None:
         emit_zero_edges=False, solver_max_iter=150,
     )
     streaming_runs = [run_streaming_bench(spark, params) for _ in range(repeats)]
+    # tuned-trigger variant (round-4 sweep: larger triggers amortize
+    # per-trigger fixed cost — +~35% docs/s at local[32]; recorded as a
+    # sidecar so the headline stays protocol-comparable at fft=16)
+    tuned = None
+    if "SWINGSTREAM_BENCH_FFT" not in os.environ:
+        os.environ["SWINGSTREAM_BENCH_FFT"] = "64"
+        os.environ["SWINGSTREAM_BENCH_Q2_MFT"] = "16"
+        tuned = run_streaming_bench(spark, params)
+        tuned["trigger_config"] = {"feature_files_per_trigger": 64,
+                                   "q2_files_per_trigger": 16}
+        del os.environ["SWINGSTREAM_BENCH_FFT"]
+        del os.environ["SWINGSTREAM_BENCH_Q2_MFT"]
     streaming = max(streaming_runs, key=lambda s: s["docs_per_sec"])
     streaming["wall_sec_repeats"] = sorted(s["wall_sec"] for s in streaming_runs)
     queries["streaming_swing_pipeline"] = streaming["wall_sec"]
@@ -225,6 +237,7 @@ def main() -> None:
         "sf": sf,
         "cpus": int(cpus),
         "streaming": streaming,
+        "streaming_tuned_trigger": tuned,
         "scaling_gate": _scaling_gate_summary(),
     }
     print(json.dumps(out))
