@@ -62,7 +62,12 @@ def _realistic_docs_path(n_docs: int = 5000) -> str:
 
 
 def _dedup_similarity(spark, sf):
-    """Full-size dedup/near-dup operators — no row-count slices."""
+    """Full-size dedup/near-dup operators — no row-count slices.
+
+    Returns BUILDER thunks, one per query: the discovery ops run their
+    eager candidate-bound guard at construction, so building the whole
+    dict per timing would charge every op's guard to whichever query is
+    being timed."""
     from swingstream.operators.dedup import (
         minhash_lsh_pairs,
         ngram_jaccard_pairs_lsh,
@@ -73,15 +78,19 @@ def _dedup_similarity(spark, sf):
     # the fixture is one small parquet file => one input partition; fan
     # out so the signature kernels use every core (real corpora arrive
     # pre-partitioned — this shuffle is a fixture artifact, measured in)
-    docs = spark.read.parquet(_realistic_docs_path()).repartition(64)
+    def docs():
+        return spark.read.parquet(_realistic_docs_path()).repartition(64)
+
     return {
-        "q_docs_minhash_lsh_5k": minhash_lsh_pairs(docs, jaccard_threshold=0.5),
+        "q_docs_minhash_lsh_5k":
+            lambda: minhash_lsh_pairs(docs(), jaccard_threshold=0.5),
         # r4: scale-safe discovery default (max_hamming=3, 4x16-bit Manku
         # bands + candidate guard) — earlier rounds benched the retired
         # hamming<=8 / 9x7-band config, so walls are not like-for-like
-        "q_docs_simhash_5k": simhash_neardup_pairs(docs),
-        "q_docs_ngram_jaccard_lsh_5k": ngram_jaccard_pairs_lsh(docs, threshold=0.8),
-        "q_emb_neardup_blas": neardup_pairs_blas(
+        "q_docs_simhash_5k": lambda: simhash_neardup_pairs(docs()),
+        "q_docs_ngram_jaccard_lsh_5k":
+            lambda: ngram_jaccard_pairs_lsh(docs(), threshold=0.8),
+        "q_emb_neardup_blas": lambda: neardup_pairs_blas(
             spark.read.parquet(f"{sf}/embeddings.parquet"), threshold=0.3),
     }
 
@@ -184,9 +193,8 @@ def main() -> None:
 
     for name in HEADLINE:
         timed(name, lambda n=name: QUERIES[n](spark, sf_dir))
-    dedup_names = list(_dedup_similarity(spark, sf_dir))
-    for name in dedup_names:
-        timed(name, lambda n=name: _dedup_similarity(spark, sf_dir)[n])
+    for name, build in _dedup_similarity(spark, sf_dir).items():
+        timed(name, build)
 
     params = SwingParams(
         window_width=8, step_size=1, min_lag=1, max_lag=3,
@@ -252,7 +260,14 @@ def _scaling_gate_summary() -> dict | None:
         rows = [json.loads(line) for line in open(path) if line.strip()]
     except OSError:
         return None
-    gates = [r for r in rows if "scaling_efficiency" in r]
+    # headline gate rows only: full protocol (>=3 requested pairs) and
+    # untagged — tagged rows are exploratory sweeps (r4-sweep-*), never
+    # the gate evidence
+    gates = [
+        r for r in rows
+        if "scaling_efficiency" in r and "tag" not in r
+        and r.get("protocol", {}).get("repeats_requested", 0) >= 3
+    ]
     if not gates:
         return None
     g = gates[-1]
