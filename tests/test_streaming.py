@@ -238,6 +238,51 @@ def test_streaming_dedup_compaction_matches_one_shot_batch(spark, tmp_path):
     assert table.total_rows() == len(expected)
 
 
+def test_compaction_crash_between_publish_and_manifest(spark, tmp_path):
+    """A compaction that crashes after publishing its data dir but before
+    its manifest write must heal on retry through the sink's adoption
+    path: same files, REPLACE manifest finally lands, replaced appends
+    become invisible — and the pre-crash window never shows partial state
+    (appends stay visible until the one manifest write flips the
+    snapshot)."""
+    import os
+
+    from swingstream.operators.dedup import exact_dup_pairs
+    from swingstream.streaming.compaction import compact_dedup
+
+    def batch(lo, n):
+        # fresh doc_ids per append (ids are unique corpus-wide), texts
+        # drawn from 7 templates so cross-batch exact dups exist
+        return spark.createDataFrame(
+            [(i, "txt-%d" % (i % 7)) for i in range(lo, lo + n)],
+            "doc_id long, text string",
+        )
+
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    t.commit(0, batch(0, 50))
+    t.commit(1, batch(100, 20))
+
+    pf = lambda d: exact_dup_pairs(d)  # noqa: E731
+    m = compact_dedup(spark, t, pf, compaction_id="compact-1")
+    assert m is not None and m["operation"] == "dedup-compaction"
+    survivors = t.total_rows()
+    assert survivors == 7  # 7 distinct texts
+
+    # crash simulation on a SECOND compaction after more appends: publish
+    # succeeded, manifest lost
+    t.commit(2, batch(200, 10))
+    m2 = compact_dedup(spark, t, pf, compaction_id="compact-2")
+    os.remove(t._manifest_path("compact-2"))
+    # pre-retry: ledger shows the pre-compaction snapshot (appends intact)
+    assert t.total_rows() == survivors + 10
+    # retry adopts the published dir and lands the manifest
+    m3 = compact_dedup(spark, t, pf, compaction_id="compact-2")
+    assert m3 is not None and m3["files"] == m2["files"]
+    assert t.total_rows() == 7
+    active = t.active_manifests()
+    assert [a["batch_id"] for a in active] == ["compact-2"]
+
+
 def test_feature_query_matches_watermark_oracle(spark, stream_dir, tmp_path):
     from swingstream.streaming.pipeline import run_feature_query
 
