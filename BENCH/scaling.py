@@ -358,6 +358,13 @@ def main() -> None:
         },
         "cpu_calibration_hash_ops_per_sec": calib,
         "hardware_scaling_efficiency": round(hw_eff, 3) if hw_eff else None,
+        # the job's efficiency relative to what a perfectly-parallel
+        # CPU workload achieves on this host AT MEASUREMENT TIME — the
+        # contention-audit ratio (a shared sandbox host can be co-tenant
+        # loaded; the calibration is recorded so raw numbers stay
+        # interpretable, never replaced)
+        "scaling_efficiency_vs_hw_ceiling": (
+            round(efficiency / hw_eff, 3) if hw_eff else None),
         "memory_bandwidth_gb_per_sec": bw,
         "bandwidth_scaling_efficiency": round(
             (bw[hi] / bw[lo]) / (hi / lo), 3) if bw else None,

@@ -270,19 +270,32 @@ def _scaling_gate_summary() -> dict | None:
     ]
     if not gates:
         return None
-    g = gates[-1]
-    levels = sorted(int(k) for k in g.get("levels", {}))
-    lv = {str(k): g["levels"][str(k)] for k in levels}
-    return {
-        "metric": g.get("metric"),
-        "pair": f"local[{levels[0]}] -> local[{levels[-1]}]" if levels else None,
-        "scaling_efficiency": g.get("scaling_efficiency"),
-        "scaling_efficiency_wall": g.get("scaling_efficiency_wall"),
-        "target": g.get("target"),
-        "pass": g.get("pass"),
-        "n_pairs_valid": {k: v.get("n_pairs_valid") for k, v in lv.items()},
-        "ts": g.get("ts"),
-    }
+
+    def row(g: dict) -> dict:
+        levels = sorted(int(k) for k in g.get("levels", {}))
+        lv = {str(k): g["levels"][str(k)] for k in levels}
+        hw = g.get("hardware_scaling_efficiency")
+        eff = g.get("scaling_efficiency")
+        return {
+            "metric": g.get("metric"),
+            "pair": f"local[{levels[0]}] -> local[{levels[-1]}]" if levels else None,
+            "scaling_efficiency": eff,
+            "scaling_efficiency_wall": g.get("scaling_efficiency_wall"),
+            "target": g.get("target"),
+            "pass": g.get("pass"),
+            "n_pairs_valid": {k: v.get("n_pairs_valid") for k, v in lv.items()},
+            # contention audit: a perfectly-parallel CPU burn's own
+            # scaling on this host at measurement time — raw efficiency
+            # is only comparable across rounds at similar ceilings
+            "hardware_scaling_efficiency": hw,
+            "bandwidth_scaling_efficiency": g.get("bandwidth_scaling_efficiency"),
+            "efficiency_vs_hw_ceiling": (
+                round(eff / hw, 3) if (eff and hw) else None),
+            "ts": g.get("ts"),
+        }
+
+    return {"latest": row(gates[-1]),
+            "history": [row(g) for g in gates[-4:-1]]}
 
 
 if __name__ == "__main__":
