@@ -254,19 +254,31 @@ def run_level(cpus: int, repeats: int) -> dict:
         for line in proc.stdout.splitlines()
         if line.startswith("PAIR ")
     ]
+    if proc.returncode != 0:
+        # a crashed child may still have emitted a few PAIR lines — those
+        # are NOT a valid level estimate (r4 advice: the bar must not
+        # silently shrink to whatever a dying child managed to print)
+        raise RuntimeError(
+            f"scaling child (cpus={cpus}) exited {proc.returncode} after "
+            f"{len(pairs)} PAIR lines:\n"
+            f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+        )
     if not pairs:
         raise RuntimeError(
             f"scaling child (cpus={cpus}) produced no PAIR lines:\n"
             f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
         )
     valid = [p["docs_per_sec"] for p in pairs if p["valid"]]
-    # sweep mode (repeats<3) is exploratory ranking — accept any valid
-    # pair; the headline gate always runs repeats>=5 and keeps the >=3 bar
-    need = 3 if len(pairs) >= 3 else 1
+    # the bar is keyed on the REQUESTED repeats, not on however many pairs
+    # a child happened to emit: sweep mode (repeats<3) is exploratory
+    # ranking and accepts any valid pair; a headline-protocol run
+    # (repeats>=3) must produce >=3 guard-valid pairs or fail loudly
+    need = 3 if repeats >= 3 else 1
     if len(valid) < need:
         raise RuntimeError(
             f"cpus={cpus}: only {len(valid)}/{len(pairs)} guard-valid pairs "
-            f"(need >={need}) — host too noisy for a defensible estimate; raw: "
+            f"(need >={need} for repeats_requested={repeats}) — host too "
+            f"noisy for a defensible estimate; raw: "
             + json.dumps(pairs)
         )
     return {

@@ -97,18 +97,63 @@ def cumulative_counts_scalable(
     )
 
 
-def _trapezoid(points: DataFrame, x: str, y: str) -> float:
-    order = Window.orderBy(F.asc("mean_rank"), F.asc("parent"), F.asc("child"))
-    stepped = points.select(
-        F.col(x).alias("x"),
-        F.col(y).alias("y"),
-        F.lag(x, 1, 0.0).over(order).alias("x0"),
-        F.lag(y, 1, 0.0).over(order).alias("y0"),
+def _trapezoid(
+    points: DataFrame,
+    x: str,
+    y: str,
+    order_cols: tuple = ("mean_rank", "parent", "child"),
+    n_parts: int = 64,
+) -> float:
+    """Distributed trapezoid area under the (x, y) curve walked in
+    ``order_cols`` order, starting from the implicit point (0, 0).
+
+    Scale form (round-5; the prior shape was a single-task global
+    ``Window.orderBy`` + lag over EVERY curve point — the same
+    scale-killer retired from the cumulative-counts path in round 3):
+    range-repartition on the total order, compute each partition's
+    INTERIOR area with a parallel per-partition lag window, and reduce
+    partitions to one (first, last, interior) row each.  The driver
+    stitches the ≤``n_parts`` aggregate rows — boundary segments between
+    consecutive partitions plus the (0,0)→first segment — so no data-
+    sized ordered window exists anywhere and the only collect is the
+    ``n_parts``-row aggregate (same class as the P/N totals collect).
+
+    repartitionByRange assigns ranges to partition ids in sort order and
+    the order is total, so stitching by ``_pid`` is exact for any
+    boundary placement; empty range partitions simply produce no
+    aggregate row.
+    """
+    order = [F.asc(c) for c in order_cols]
+    d = points.repartitionByRange(n_parts, *order).withColumn(
+        "_pid", F.spark_partition_id()
     )
-    area = stepped.agg(
-        F.sum((F.col("x") - F.col("x0")) * (F.col("y") + F.col("y0")) / 2.0).alias("a")
-    ).collect()[0]["a"]
-    return float(area or 0.0)
+    within = Window.partitionBy("_pid").orderBy(*order)
+    stepped = d.select(
+        "_pid",
+        *order_cols,
+        F.col(x).alias("_x"),
+        F.col(y).alias("_y"),
+        F.lag(x).over(within).alias("_x0"),
+        F.lag(y).over(within).alias("_y0"),
+    )
+    ordk = F.struct(*[F.col(c) for c in order_cols])
+    pt = lambda: F.struct(F.col("_x").alias("x"), F.col("_y").alias("y"))
+    parts = stepped.groupBy("_pid").agg(
+        F.sum(
+            F.when(
+                F.col("_x0").isNotNull(),
+                (F.col("_x") - F.col("_x0")) * (F.col("_y") + F.col("_y0")) / 2.0,
+            ).otherwise(F.lit(0.0))
+        ).alias("interior"),
+        F.min_by(pt(), ordk).alias("first"),
+        F.max_by(pt(), ordk).alias("last"),
+    )
+    area, px, py = 0.0, 0.0, 0.0
+    for r in sorted(parts.collect(), key=lambda r: r["_pid"]):
+        area += (r["interior"] or 0.0)
+        area += (r["first"]["x"] - px) * (r["first"]["y"] + py) / 2.0
+        px, py = r["last"]["x"], r["last"]["y"]
+    return float(area)
 
 
 def auroc(ranked: DataFrame, gold: DataFrame) -> float:

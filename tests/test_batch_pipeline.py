@@ -115,3 +115,52 @@ def test_pipeline_deterministic(spark):
     assert list(a.columns) == ["parent", "child", "mean_rank", "mean_importance",
                                "n_windows"]
     assert (a["mean_rank"].diff().dropna() >= 0).all()
+
+
+def test_trapezoid_distributed_matches_numpy(spark):
+    """r5: _trapezoid was rebuilt as per-range-partition interior areas +
+    driver-stitched boundary segments (<= n_parts aggregate rows).  Pin
+    exactness against a numpy reference on a multi-partition curve, and
+    partition-count invariance (boundary stitching is exact wherever the
+    range cuts land)."""
+    from swingstream.operators.evaluate import _trapezoid
+
+    rng = np.random.default_rng(0)
+    n = 500
+    xs = np.cumsum(rng.uniform(0.0, 1.0, n))
+    xs /= xs[-1]
+    ys = rng.uniform(0.0, 1.0, n)
+    pdf = pd.DataFrame(
+        {
+            "mean_rank": np.arange(n, dtype="float64"),
+            "parent": [f"p{i:04d}" for i in range(n)],
+            "child": [f"c{i:04d}" for i in range(n)],
+            "x": xs,
+            "y": ys,
+        }
+    )
+    # reference walk from the implicit origin (0, 0)
+    x0 = np.concatenate([[0.0], xs[:-1]])
+    y0 = np.concatenate([[0.0], ys[:-1]])
+    want = float(np.sum((xs - x0) * (ys + y0) / 2.0))
+    df = spark.createDataFrame(pdf).repartition(8)  # scrambled input order
+    for n_parts in (1, 7, 64):
+        got = _trapezoid(df, "x", "y", n_parts=n_parts)
+        assert abs(got - want) < 1e-9, (n_parts, got, want)
+
+
+def test_eval_path_has_no_global_data_window():
+    """r5 guard (VERDICT r4 #2): no data-sized unpartitioned
+    Window.orderBy anywhere in the eval module — the only ordered
+    unpartitioned window allowed is the one over the <= n_parts-row
+    ``_pid`` offsets aggregate in the distributed prefix sum."""
+    import inspect
+    import re
+
+    from swingstream.operators import evaluate
+
+    src = inspect.getsource(evaluate)
+    for m in re.finditer(r"Window\.orderBy\(([^)]*)\)", src):
+        assert '"_pid"' in m.group(1), (
+            f"unpartitioned data-sized window in eval path: {m.group(0)}"
+        )
