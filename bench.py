@@ -11,6 +11,12 @@ prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...,
    "streaming": {docs, wall_sec, docs_per_sec}}
 
+followed by a compact summary line carrying the same contract keys —
+the LAST line of output, so a tail-truncating consumer (the driver
+keeps 2,000 bytes) always sees the headline value, per-query walls,
+streaming docs/s, the host-contention calibration, and the latest
+scaling-gate row.
+
 Scaling-efficiency evidence (local[8] vs local[32] per the driver
 instruction — no real cluster in sandbox) is produced by
 BENCH/scaling.py and recorded in BENCH/BASELINE.md.
@@ -125,14 +131,43 @@ def _bench_stream_dir() -> tuple[str, int]:
     return root, len(df)
 
 
-def run_streaming_bench(spark, params) -> dict:
+def _host_calibration() -> dict:
+    """Contention audit stamped into the bench output (r4 VERDICT #1: a
+    contended driver run was indistinguishable from a code regression in
+    BENCH_rN.json — the scaling runs carried calibrations, the
+    per-query/streaming sections did not).
+
+    Reuses BENCH/scaling.py's burns: raw-CPU hash throughput at 1 and 4
+    workers (their ratio/4 = the host's own parallel ceiling, ~1.0 quiet,
+    0.90 observed under co-tenant load in r4) plus one 4-worker
+    streaming-memcpy bandwidth sample.  ~15 s total.
+    """
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "BENCH"))
+    from scaling import bandwidth_calibration, cpu_calibration
+
+    cpu = cpu_calibration([1, 4])
+    bw = bandwidth_calibration([4])
+    return {
+        "cpu_hash_ops_per_sec": cpu,
+        "hardware_scaling_efficiency_1_4": round(cpu[4] / cpu[1] / 4, 3),
+        "bandwidth_gb_per_sec_4w": bw[4],
+    }
+
+
+def run_streaming_bench(spark, params, fft: int | None = None,
+                        q2_mft: int | None = None) -> dict:
     from swingstream.streaming.state import run_pipeline_concurrent
 
     stream_dir, n_docs = _bench_stream_dir()
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="swingstream-bench-run-", dir=shm)
-    fft = int(os.environ.get("SWINGSTREAM_BENCH_FFT", "16"))
-    q2_mft = int(os.environ.get("SWINGSTREAM_BENCH_Q2_MFT", "4"))
+    # explicit args beat env (r4 advice: the tuned-trigger sidecar's env
+    # mutation could leak into later runs on an exception)
+    if fft is None:
+        fft = int(os.environ.get("SWINGSTREAM_BENCH_FFT", "16"))
+    if q2_mft is None:
+        q2_mft = int(os.environ.get("SWINGSTREAM_BENCH_Q2_MFT", "4"))
     t0 = time.time()
     feat_table, edges_table = run_pipeline_concurrent(
         spark, stream_dir, work, params, list(params.feature_names),
@@ -201,19 +236,20 @@ def main() -> None:
         method="lasso", alpha=0.05, watermark="5 minutes", n_salts=8,
         emit_zero_edges=False, solver_max_iter=150,
     )
+    # host-state stamp taken immediately before the streaming section —
+    # the measurement the r4 driver run showed 3.5x slow on a host whose
+    # scaling calibration read 0.906; with this stamp a contended run is
+    # self-evident in BENCH_rN.json instead of a he-said-she-said
+    calibration = _host_calibration()
     streaming_runs = [run_streaming_bench(spark, params) for _ in range(repeats)]
     # tuned-trigger variant (round-4 sweep: larger triggers amortize
     # per-trigger fixed cost — +~35% docs/s at local[32]; recorded as a
     # sidecar so the headline stays protocol-comparable at fft=16)
     tuned = None
     if "SWINGSTREAM_BENCH_FFT" not in os.environ:
-        os.environ["SWINGSTREAM_BENCH_FFT"] = "64"
-        os.environ["SWINGSTREAM_BENCH_Q2_MFT"] = "16"
-        tuned = run_streaming_bench(spark, params)
+        tuned = run_streaming_bench(spark, params, fft=64, q2_mft=16)
         tuned["trigger_config"] = {"feature_files_per_trigger": 64,
                                    "q2_files_per_trigger": 16}
-        del os.environ["SWINGSTREAM_BENCH_FFT"]
-        del os.environ["SWINGSTREAM_BENCH_Q2_MFT"]
     streaming = max(streaming_runs, key=lambda s: s["docs_per_sec"])
     streaming["wall_sec_repeats"] = sorted(s["wall_sec"] for s in streaming_runs)
     queries["streaming_swing_pipeline"] = streaming["wall_sec"]
@@ -244,11 +280,37 @@ def main() -> None:
         "query_repeats": query_repeats,
         "sf": sf,
         "cpus": int(cpus),
+        "host_calibration": calibration,
         "streaming": streaming,
         "streaming_tuned_trigger": tuned,
         "scaling_gate": _scaling_gate_summary(),
     }
     print(json.dumps(out))
+    # The driver keeps only the TAIL of the bench output (r4: 2,000 bytes
+    # — which ate every per-query wall and the headline `value`).  Emit a
+    # compact-but-complete summary as the LAST line so truncation can
+    # never eat the headline; it repeats the driver-contract keys so it
+    # parses standalone.
+    gate = out["scaling_gate"] or {}
+    print(json.dumps({
+        "metric": out["metric"],
+        "value": out["value"],
+        "value_median": out["value_median"],
+        "unit": "sec",
+        "sf": sf,
+        "cpus": int(cpus),
+        "queries": queries,
+        "streaming": {k: streaming[k] for k in
+                      ("docs", "wall_sec", "docs_per_sec", "wall_sec_repeats")},
+        "tuned_docs_per_sec": tuned["docs_per_sec"] if tuned else None,
+        "host_calibration": calibration,
+        "scaling_latest": {
+            k: (gate.get("latest") or {}).get(k)
+            for k in ("pair", "scaling_efficiency",
+                      "hardware_scaling_efficiency", "pass")
+        } if gate else None,
+        "protocol": out["protocol"],
+    }))
 
 
 def _scaling_gate_summary() -> dict | None:
@@ -260,13 +322,17 @@ def _scaling_gate_summary() -> dict | None:
         rows = [json.loads(line) for line in open(path) if line.strip()]
     except OSError:
         return None
-    # headline gate rows only: full protocol (>=3 requested pairs) and
-    # untagged — tagged rows are exploratory sweeps (r4-sweep-*), never
-    # the gate evidence
+    # headline gate rows only: full protocol (>=3 requested pairs), >=3
+    # guard-VALID pairs actually produced at every level (r4 advice: a
+    # crashed child emitting 1-2 pairs must not qualify), and untagged —
+    # tagged rows are exploratory sweeps (r4-sweep-*), never the gate
+    # evidence
     gates = [
         r for r in rows
         if "scaling_efficiency" in r and "tag" not in r
         and r.get("protocol", {}).get("repeats_requested", 0) >= 3
+        and all(lv.get("n_pairs_valid", 0) >= 3
+                for lv in r.get("levels", {}).values())
     ]
     if not gates:
         return None
