@@ -77,6 +77,13 @@ class IcebergLiteTable:
             files.extend(m["files"])
         return files
 
+    def append_manifests(self) -> list[dict]:
+        """Every original APPEND commit, including those replaced by later
+        REPLACE snapshots — replaced manifests (and their data files) stay
+        on disk as lineage, so the full appended history remains readable
+        (Iceberg history/time-travel in miniature)."""
+        return [m for m in self.manifests() if m.get("operation") is None]
+
     # -- write -----------------------------------------------------------
     def commit(
         self,
@@ -127,16 +134,27 @@ class IcebergLiteTable:
                 f for f in os.listdir(final_dir) if f.endswith(".parquet")
             )
             lineage = []
-            expected = [f.name for f in df.schema.fields]
+            expected = [(f.name, f.dataType) for f in df.schema.fields]
             for f in parts:
                 md = pq.read_metadata(os.path.join(final_dir, f))
-                adopted_cols = [
-                    c for c in md.schema.to_arrow_schema().names
-                ]
-                if adopted_cols != expected:
+                # full schema check — NAMES AND TYPES (r4 advice: a stale
+                # dir with identical names but changed types was silently
+                # adopted).  The footer's arrow schema is mapped back to
+                # Spark types; tz-aware vs NTZ timestamps are ambiguous in
+                # the arrow form, so accept either reading.
+                from pyspark.sql.pandas.types import from_arrow_schema
+
+                arrow = md.schema.to_arrow_schema()
+                adopted = None
+                for ntz in (False, True):
+                    conv = from_arrow_schema(arrow, prefer_timestamp_ntz=ntz)
+                    adopted = [(fl.name, fl.dataType) for fl in conv.fields]
+                    if adopted == expected:
+                        break
+                if adopted != expected:
                     raise ValueError(
                         f"refusing to adopt orphaned batch dir {final_dir}: "
-                        f"parquet schema {adopted_cols} != recomputed batch "
+                        f"parquet schema {adopted} != recomputed batch "
                         f"schema {expected} (stale data from a different "
                         f"pipeline version?) — remove the dir to recompute"
                     )
@@ -145,7 +163,9 @@ class IcebergLiteTable:
                 )
             _log.warning(
                 "adopting crash-orphaned batch dir %s: %d files, %d rows "
-                "(schema verified against recomputed batch)",
+                "(column names+types verified against the recomputed batch; "
+                "row content is assumed identical per the pipeline "
+                "determinism pin, not re-read)",
                 final_dir, len(lineage), sum(e["rows"] for e in lineage),
             )
             return self._write_manifest(
@@ -247,6 +267,21 @@ class IcebergLiteTable:
     # -- read ------------------------------------------------------------
     def read(self, spark: SparkSession, schema=None) -> DataFrame:
         files = [os.path.join(self.data_dir, f) for f in self.data_files()]
+        return self._read_files(spark, files, schema)
+
+    def read_history(self, spark: SparkSession, schema=None) -> DataFrame:
+        """Every row ever APPENDED — the union of the original append
+        commits, ignoring REPLACE rewrites (whose files are copies of
+        surviving rows, so including them would double-count).  Appends
+        are disjoint micro-batches, so each row appears exactly once."""
+        files = [
+            os.path.join(self.data_dir, f)
+            for m in self.append_manifests()
+            for f in m["files"]
+        ]
+        return self._read_files(spark, files, schema)
+
+    def _read_files(self, spark: SparkSession, files: list[str], schema=None) -> DataFrame:
         if not files:
             if schema is None:
                 raise ValueError("empty table and no schema given")

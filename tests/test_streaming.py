@@ -268,16 +268,33 @@ def test_compaction_crash_between_publish_and_manifest(spark, tmp_path):
     survivors = t.total_rows()
     assert survivors == 7  # 7 distinct texts
 
-    # crash simulation on a SECOND compaction after more appends: publish
-    # succeeded, manifest lost
+    # crash INJECTION on a SECOND compaction after more appends: the
+    # data dir publishes, then the manifest write dies (r5: a real
+    # injected crash, not a post-hoc manifest delete — a real crash
+    # leaves the .intent record in place, a post-success delete does not)
     t.commit(2, batch(200, 10))
-    m2 = compact_dedup(spark, t, pf, compaction_id="compact-2")
-    os.remove(t._manifest_path("compact-2"))
+    orig = IcebergLiteTable._write_manifest
+
+    def boom(self, batch_id, *a, **k):
+        if str(batch_id) == "compact-2":
+            raise RuntimeError("injected crash before manifest write")
+        return orig(self, batch_id, *a, **k)
+
+    IcebergLiteTable._write_manifest = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_dedup(spark, t, pf, compaction_id="compact-2")
+    finally:
+        IcebergLiteTable._write_manifest = orig
+    orphan = os.path.join(t.data_dir, "batch-compact-2")
+    assert os.path.isdir(orphan), "data must have published before the crash"
+    published = sorted(os.listdir(orphan))
     # pre-retry: ledger shows the pre-compaction snapshot (appends intact)
     assert t.total_rows() == survivors + 10
     # retry adopts the published dir and lands the manifest
     m3 = compact_dedup(spark, t, pf, compaction_id="compact-2")
-    assert m3 is not None and m3["files"] == m2["files"]
+    assert m3 is not None
+    assert sorted(os.path.basename(f) for f in m3["files"]) == published
     assert t.total_rows() == 7
     active = t.active_manifests()
     assert [a["batch_id"] for a in active] == ["compact-2"]
@@ -763,3 +780,137 @@ def test_scoring_query_checkpoint_resume(spark, tmp_path):
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a[key + ["importance", "win_start_ts"]],
                                   b[key + ["importance", "win_start_ts"]])
+
+
+def _chain_docs_pdf():
+    """Similarity CHAIN fixture: shingle-shifted token docs where
+    J(A,B) = J(B,C) ≈ 0.83 >= 0.75 but J(A,C) ≈ 0.69 < 0.75 — pairs are
+    exactly {A~B, B~C} under minhash_lsh_pairs(threshold=0.75)
+    (deterministic: fixed hash seeds, exact-Jaccard verification)."""
+    import pandas as pd
+
+    L, s = 110, 10
+    toks = lambda start: " ".join(f"t{start + i:04d}" for i in range(L))  # noqa: E731
+    rows = [(1, toks(0)), (2, toks(s)), (3, toks(2 * s))]
+    rows += [(100 + i, " ".join(f"f{i}w{j}" for j in range(30)))
+             for i in range(6)]
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def _write_docs_stream(pdf, d, splits):
+    """Write doc batches as parquet files with strictly increasing
+    mtimes (file-source batch order == arrival order)."""
+    import os
+    import time
+
+    os.makedirs(d, exist_ok=True)
+    now = time.time()
+    for i, ids in enumerate(splits):
+        p = os.path.join(d, f"part-{i:04d}.parquet")
+        pdf[pdf["doc_id"].isin(ids)].to_parquet(p, index=False)
+        os.utime(p, (now + 10 * i, now + 10 * i))
+
+
+def test_compaction_chain_semantics_incremental_vs_full_history(spark, tmp_path):
+    """r5 (VERDICT r4 #4): near-dup pair_fns produce CHAIN-shaped
+    components; pin BOTH documented behaviors through the streaming
+    path: (a) incremental-only compaction leaves exactly the chain
+    endpoint alive whose bridge was removed early (the documented
+    approximation — delta == {C}); (b) the default full-history final
+    pass restores exact one-shot parity."""
+    from swingstream.operators.dedup import dedup_survivors, minhash_lsh_pairs
+    from swingstream.streaming.compaction import run_corpus_stream_with_compaction
+
+    pdf = _chain_docs_pdf()
+    d = str(tmp_path / "docs_stream")
+    # A and B (the bridge) arrive first; C arrives after a compaction
+    # already removed B
+    _write_docs_stream(pdf, d, [[1, 2, 100, 101, 102], [3, 103, 104, 105]])
+    pf = lambda dd: minhash_lsh_pairs(  # noqa: E731
+        dd, jaccard_threshold=0.75, candidate_guard=False)
+
+    def run(name, final_scope):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        return run_corpus_stream_with_compaction(
+            spark, stream, str(tmp_path / name), str(tmp_path / f"ck_{name}"),
+            pair_fn=pf, id_col="doc_id", every=1, final_scope=final_scope,
+        )
+
+    docs = spark.createDataFrame(pdf)
+    one_shot = sorted(
+        dedup_survivors(docs, pf(docs), "doc_id").toPandas()["doc_id"]
+    )
+    assert one_shot == [1, 100, 101, 102, 103, 104, 105]  # B and C lose
+
+    # (a) incremental approximation: C's bridge B was compacted away in
+    # batch 0, so C survives — the delta vs one-shot is EXACTLY {3}
+    inc = run("inc", final_scope="active")
+    got_inc = sorted(inc.read(spark).toPandas()["doc_id"])
+    assert got_inc == sorted(one_shot + [3])
+
+    # (b) full-history final pass (default): exact one-shot parity —
+    # discovery over the append history finds A~B~C, C loses to min id 1
+    full = run("full", final_scope="full-history")
+    got_full = sorted(full.read(spark).toPandas()["doc_id"])
+    assert got_full == one_shot
+    final = [m for m in full.manifests()
+             if m["batch_id"] == "compact-final"]
+    assert final and final[0]["metrics"]["scope"] == "full-history"
+
+
+def test_compaction_retry_refuses_stale_snapshot(spark, tmp_path):
+    """r5 (r4 advice): a compaction retry that would ADOPT files
+    published by a crashed attempt must fail loudly when an append
+    landed in between — adopting would mark the new append replaced
+    without its rows existing in the adopted data (silent row loss).
+    Removing the orphan dir heals: the retry recomputes from the
+    current snapshot."""
+    import os
+
+    import pytest
+    from swingstream.operators.dedup import exact_dup_pairs
+    from swingstream.streaming.compaction import compact_dedup
+
+    def batch(lo, n):
+        return spark.createDataFrame(
+            [(i, "txt-%d" % (i % 5)) for i in range(lo, lo + n)],
+            "doc_id long, text string",
+        )
+
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    t.commit(0, batch(0, 30))
+    pf = lambda d: exact_dup_pairs(d)  # noqa: E731
+
+    # crash between data publish and manifest write (injected)...
+    orig = IcebergLiteTable._write_manifest
+
+    def boom(self, batch_id, *a, **k):
+        if str(batch_id) == "compact-0":
+            raise RuntimeError("injected crash before manifest write")
+        return orig(self, batch_id, *a, **k)
+
+    IcebergLiteTable._write_manifest = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_dedup(spark, t, pf, compaction_id="compact-0")
+    finally:
+        IcebergLiteTable._write_manifest = orig
+    assert os.path.isdir(os.path.join(t.data_dir, "batch-compact-0"))
+    # ...then an append lands before the retry
+    t.commit(1, batch(100, 10))
+    with pytest.raises(RuntimeError, match="active snapshot changed"):
+        compact_dedup(spark, t, pf, compaction_id="compact-0")
+    assert not t.committed("compact-0")
+    assert t.total_rows() == 40  # both appends intact, nothing lost
+
+    # heal: drop the stale published dir, retry recomputes over the
+    # CURRENT snapshot (both appends) and commits
+    import shutil
+    shutil.rmtree(os.path.join(t.data_dir, "batch-compact-0"))
+    m2 = compact_dedup(spark, t, pf, compaction_id="compact-0")
+    assert m2 is not None
+    assert sorted(str(b) for b in m2["replaces"]) == ["0", "1"]
+    assert t.total_rows() == 5  # 5 distinct texts across both appends
