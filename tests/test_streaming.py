@@ -861,6 +861,58 @@ def test_compaction_chain_semantics_incremental_vs_full_history(spark, tmp_path)
     assert final and final[0]["metrics"]["scope"] == "full-history"
 
 
+def test_compaction_with_embedding_cosine_pair_fn(spark, tmp_path):
+    """r5: embedding near-dup dedup through the streaming compaction
+    path — the pluggable pair_fn contract covers the similarity
+    module's exact block-pair BLAS kernel, not just the text
+    digest/LSH pair fns.  Clusters are constructed as cosine CLIQUES
+    (tiny perturbations of an anchor, all pairwise cos ≈ 1 ≥ 0.95), so
+    incremental periodic passes and the one-shot batch agree exactly
+    (compaction.py min()-associativity argument)."""
+    import numpy as np
+    import pandas as pd
+
+    from swingstream.operators.dedup import dedup_survivors
+    from swingstream.operators.similarity import neardup_pairs_blas
+    from swingstream.streaming.compaction import run_corpus_stream_with_compaction
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    rows = []
+    for cid, ids in enumerate([[1, 2, 3], [10, 11], [20]]):
+        anchor = rng.normal(size=dim)
+        for i in ids:
+            v = anchor + rng.normal(scale=1e-3, size=dim)
+            rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    for i in (30, 31):  # singletons far from every cluster
+        v = rng.normal(size=dim)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "embedding"])
+
+    d = str(tmp_path / "emb_stream")
+    _write_docs_stream(pdf, d, [[1, 2, 10, 30], [3, 11, 20, 31]])
+    pf = lambda dd: neardup_pairs_blas(  # noqa: E731
+        dd, threshold=0.95, id_col="doc_id", vec_col="embedding", n_blocks=2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    table = run_corpus_stream_with_compaction(
+        spark, stream, str(tmp_path / "emb_tbl"), str(tmp_path / "emb_ck"),
+        pair_fn=pf, id_col="doc_id", every=1,
+    )
+
+    docs = spark.createDataFrame(pdf)
+    one_shot = sorted(
+        dedup_survivors(docs, pf(docs), "doc_id").toPandas()["doc_id"])
+    assert one_shot == [1, 10, 20, 30, 31]  # min id per clique survives
+    got = sorted(table.read(spark).toPandas()["doc_id"])
+    assert got == one_shot
+    assert any(m.get("operation") == "dedup-compaction"
+               for m in table.manifests())
+
+
 def test_compaction_retry_refuses_stale_snapshot(spark, tmp_path):
     """r5 (r4 advice): a compaction retry that would ADOPT files
     published by a crashed attempt must fail loudly when an append
