@@ -24,10 +24,14 @@ background rewrite sharing one snapshot ledger):
 Scale shape: each compaction is pair-discovery (banded LSH / digest
 join — never O(n²)) plus CC labels on the pair graph (≪ corpus) plus
 ONE left-anti join filtering the corpus; the corpus side is never
-collected or sorted.  At 10^12 rows the rewrite would be partitioned
-(rewrite only data files whose partitions contain losers — Iceberg's
-rewrite_data_files granularity); the ledger semantics here are exactly
-that contract with whole-snapshot granularity.
+collected or sorted.  The rewrite itself is TARGETED by default
+(round 5): loser rows are attributed to their commit via the parquet
+scan's ``_metadata.file_path``, and only commits containing losers are
+rewritten — Iceberg's rewrite_data_files granularity, so the
+steady-state maintenance loop costs O(data holding duplicates) per
+pass instead of rewriting the whole corpus every cycle, and a pass
+that finds no duplicates commits nothing.  ``targeted=False`` keeps
+the whole-snapshot rewrite for small-file bin-packing.
 
 Incremental-vs-one-shot parity: an INCREMENTAL (``scope="active"``)
 pass keeps, per duplicate component, the min-id member seen so far;
@@ -60,9 +64,20 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from swingstream.operators.dedup import dedup_survivors, exact_dup_pairs
+from swingstream.operators.dedup import (
+    dedup_clusters,
+    dedup_survivors,
+    exact_dup_pairs,
+)
 from swingstream.sources.catalog import IcebergLiteTable
+
+
+def _commit_dir_label(batch_id) -> str:
+    """Data-dir name for a commit — must mirror catalog.commit()."""
+    b = str(batch_id)
+    return f"batch-{int(b):010d}" if b.isdigit() else f"batch-{b}"
 
 
 def compact_dedup(
@@ -72,6 +87,7 @@ def compact_dedup(
     id_col: str = "doc_id",
     compaction_id: str | None = None,
     scope: str = "active",
+    targeted: bool = True,
 ) -> dict | None:
     """One dedup-compaction pass over ``table``'s active snapshot.
 
@@ -82,7 +98,19 @@ def compact_dedup(
     discovers over every original append commit and so restores exact
     one-shot parity on chain-shaped duplicate graphs (module docstring).
     Returns the REPLACE manifest, or None when this compaction_id is
-    already in the ledger (replay no-op) or the table is empty.
+    already in the ledger (replay no-op), the table is empty, or a
+    targeted pass finds no commit containing a loser (exact no-op).
+
+    ``targeted=True`` (default) rewrites ONLY the commits that contain
+    loser rows — Iceberg's rewrite_data_files granularity: commits
+    free of duplicates keep their manifests active untouched, so each
+    periodic pass costs O(affected data), not O(corpus), and the
+    steady-state maintenance loop stops re-writing clean history every
+    cycle.  ``targeted=False`` restores the whole-snapshot rewrite,
+    which additionally BIN-PACKS the corpus into one commit — use it
+    when small-file consolidation is the goal, not just dedup.  Both
+    modes produce the identical surviving row set (the loser set is
+    the same; only the rewrite extent differs).
 
     Crash/retry safety: the batch_ids this pass will REPLACE are
     recorded in an ``.intent`` sidecar BEFORE any data is published.  A
@@ -95,6 +123,9 @@ def compact_dedup(
     active = table.active_manifests()
     if not active:
         return None
+    cid = compaction_id or f"compact-adhoc-{len(table.manifests())}"
+    if table.committed(cid):
+        return None
     if len(active) == 1 and active[0].get("operation") == "dedup-compaction":
         # already a single compacted rewrite: an "active"-scope pass has
         # nothing to merge, and a full-history pass over a snapshot that
@@ -103,16 +134,67 @@ def compact_dedup(
         # full-history pass, so only skip in those two cases
         if scope == "active" or active[0]["metrics"].get("scope") == "full-history":
             return None
-    cid = compaction_id or f"compact-adhoc-{len(table.manifests())}"
-    if table.committed(cid):
-        return None
-    replaces = [m["batch_id"] for m in active]
 
+    docs = table.read(spark)
+    basis = table.read_history(spark) if scope == "full-history" else docs
+    pairs = pair_fn(basis).select("id_a", "id_b")
+
+    if targeted:
+        # rewrite ONLY the commits that contain loser rows — the
+        # rewrite_data_files granularity the module docstring promises:
+        # compaction cost is proportional to the data holding
+        # duplicates, not to the corpus, and a pass that discovers no
+        # losers rewrites NOTHING (exact no-op, no REPLACE commit).
+        # Commit attribution rides the parquet scan's _metadata column
+        # (file path → commit dir → manifest), so the corpus is never
+        # re-keyed; the loser set is localCheckpoint'ed because it
+        # drives two actions (the affected-commit probe and the
+        # rewrite) and is tiny (dup-cluster members only, ≪ corpus).
+        by_dir = {_commit_dir_label(m["batch_id"]): m for m in active}
+        labels = dedup_clusters(pairs)
+        losers = (
+            labels.where(F.col("id") != F.col("cluster_id"))
+            .select(F.col("id").alias(id_col))
+            .localCheckpoint(eager=True)
+        )
+        tagged = table.read(spark).select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -2
+            ).alias("_cdir"),
+        )
+        hit_dirs = sorted(
+            r["_cdir"]
+            for r in tagged.join(losers, id_col, "semi")
+            .select("_cdir")
+            .distinct()
+            .collect()
+        )
+        if not hit_dirs:
+            return None
+        replaces = [by_dir[d]["batch_id"] for d in hit_dirs]
+        survivors = (
+            tagged.where(F.col("_cdir").isin(hit_dirs))
+            .join(losers, id_col, "left_anti")
+            .drop("_cdir")
+        )
+        rows_in = sum(by_dir[d]["metrics"]["rows"] for d in hit_dirs)
+        input_commits = len(hit_dirs)
+    else:
+        replaces = [m["batch_id"] for m in active]
+        survivors = dedup_survivors(docs, pairs, id_col)
+        rows_in = sum(m["metrics"]["rows"] for m in active)
+        input_commits = len(active)
+
+    active_ids = [str(m["batch_id"]) for m in active]
     intent_path = table._manifest_path(cid) + ".intent"
     orphan_dir = os.path.join(table.data_dir, f"batch-{cid}")
     if os.path.isdir(orphan_dir):
         # published data exists from a crashed attempt; the commit below
-        # will ADOPT it, so its input snapshot must still be current
+        # will ADOPT it, so the snapshot it was computed from must still
+        # be current — both the replaced subset AND the full active set
+        # (the survivor content of a targeted rewrite depends on pair
+        # discovery over the WHOLE snapshot, not just the replaced part)
         if not os.path.exists(intent_path):
             raise RuntimeError(
                 f"orphaned compaction dir {orphan_dir} has no intent "
@@ -120,26 +202,29 @@ def compact_dedup(
                 f"from; remove the dir to recompute"
             )
         with open(intent_path) as fh:
-            recorded = json.load(fh)["replaces"]
-        if [str(b) for b in recorded] != [str(b) for b in replaces]:
+            recorded = json.load(fh)
+        rec_active = recorded.get("active", recorded["replaces"])
+        if [str(b) for b in rec_active] != active_ids or [
+            str(b) for b in recorded["replaces"]
+        ] != [str(b) for b in replaces]:
             raise RuntimeError(
                 f"compaction {cid} retry: active snapshot changed since "
                 f"the crashed attempt published its files (recorded "
-                f"{recorded}, now {replaces}) — adopting would mark the "
-                f"new commits replaced without their rows; remove "
-                f"{orphan_dir} to recompute from the current snapshot"
+                f"{recorded['replaces']} of {rec_active}, now {replaces} "
+                f"of {active_ids}) — adopting would mark commits "
+                f"replaced without their rows; remove {orphan_dir} to "
+                f"recompute from the current snapshot"
             )
     else:
         tmp = intent_path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"replaces": replaces, "scope": scope}, fh, default=str)
+            json.dump(
+                {"replaces": replaces, "active": active_ids, "scope": scope},
+                fh,
+                default=str,
+            )
         os.replace(tmp, intent_path)
 
-    docs = table.read(spark)
-    basis = table.read_history(spark) if scope == "full-history" else docs
-    pairs = pair_fn(basis).select("id_a", "id_b")
-    survivors = dedup_survivors(docs, pairs, id_col)
-    rows_in = sum(m["metrics"]["rows"] for m in active)
     manifest = table.commit(
         cid,
         survivors,
@@ -147,8 +232,9 @@ def compact_dedup(
         replaces=replaces,
         extra_metrics={
             "rows_in": rows_in,
-            "input_commits": len(active),
+            "input_commits": input_commits,
             "scope": scope,
+            "targeted": targeted,
         },
     )
     if manifest is not None:
@@ -170,6 +256,7 @@ def run_corpus_stream_with_compaction(
     every: int = 4,
     final_compaction: bool = True,
     final_scope: str = "full-history",
+    targeted: bool = True,
 ) -> IcebergLiteTable:
     """Append a streaming document DataFrame to an IcebergLite corpus
     with a dedup compaction every ``every`` commits (plus one final pass
@@ -196,7 +283,8 @@ def run_corpus_stream_with_compaction(
         table.commit(batch_id, batch_df)
         if every > 0 and (batch_id + 1) % every == 0:
             compact_dedup(spark, table, pf, id_col=id_col,
-                          compaction_id=f"compact-{batch_id}")
+                          compaction_id=f"compact-{batch_id}",
+                          targeted=targeted)
 
     q = (
         docs_stream.writeStream.foreachBatch(sink)
@@ -208,5 +296,6 @@ def run_corpus_stream_with_compaction(
     q.awaitTermination()
     if final_compaction:
         compact_dedup(spark, table, pf, id_col=id_col,
-                      compaction_id="compact-final", scope=final_scope)
+                      compaction_id="compact-final", scope=final_scope,
+                      targeted=targeted)
     return table

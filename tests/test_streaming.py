@@ -189,9 +189,13 @@ def test_streaming_dedup_compaction_matches_one_shot_batch(spark, tmp_path):
         .withWatermark("warc_ts", "10 minutes")
         .dropDuplicatesWithinWatermark(["url", "warc_ts"])
     )
+    # targeted=False pins the WHOLE-SNAPSHOT rewrite mode (bin-packing
+    # compaction): every pass collapses the active snapshot to one
+    # commit — the targeted default is pinned separately by
+    # test_targeted_compaction_rewrites_only_affected_commits
     table = run_corpus_stream_with_compaction(
         spark, stream, str(tmp_path / "corpus"), str(tmp_path / "ck"),
-        id_col="row_uid", every=2,
+        id_col="row_uid", every=2, targeted=False,
     )
 
     all_pages = with_uid(
@@ -262,8 +266,10 @@ def test_compaction_crash_between_publish_and_manifest(spark, tmp_path):
     t.commit(0, batch(0, 50))
     t.commit(1, batch(100, 20))
 
+    # whole-snapshot mode: this test pins the adoption machinery for the
+    # bin-packing rewrite, where the REPLACE covers the full active set
     pf = lambda d: exact_dup_pairs(d)  # noqa: E731
-    m = compact_dedup(spark, t, pf, compaction_id="compact-1")
+    m = compact_dedup(spark, t, pf, compaction_id="compact-1", targeted=False)
     assert m is not None and m["operation"] == "dedup-compaction"
     survivors = t.total_rows()
     assert survivors == 7  # 7 distinct texts
@@ -283,7 +289,8 @@ def test_compaction_crash_between_publish_and_manifest(spark, tmp_path):
     IcebergLiteTable._write_manifest = boom
     try:
         with pytest.raises(RuntimeError, match="injected crash"):
-            compact_dedup(spark, t, pf, compaction_id="compact-2")
+            compact_dedup(spark, t, pf, compaction_id="compact-2",
+                          targeted=False)
     finally:
         IcebergLiteTable._write_manifest = orig
     orphan = os.path.join(t.data_dir, "batch-compact-2")
@@ -292,12 +299,68 @@ def test_compaction_crash_between_publish_and_manifest(spark, tmp_path):
     # pre-retry: ledger shows the pre-compaction snapshot (appends intact)
     assert t.total_rows() == survivors + 10
     # retry adopts the published dir and lands the manifest
-    m3 = compact_dedup(spark, t, pf, compaction_id="compact-2")
+    m3 = compact_dedup(spark, t, pf, compaction_id="compact-2",
+                       targeted=False)
     assert m3 is not None
     assert sorted(os.path.basename(f) for f in m3["files"]) == published
     assert t.total_rows() == 7
     active = t.active_manifests()
     assert [a["batch_id"] for a in active] == ["compact-2"]
+
+
+def test_targeted_compaction_rewrites_only_affected_commits(spark, tmp_path):
+    """r5: the default targeted compaction implements Iceberg's
+    rewrite_data_files granularity — only commits CONTAINING loser rows
+    are rewritten; duplicate-free commits keep their append manifests
+    active untouched; a pass that finds no losers commits nothing; and
+    a commit whose rows ALL lose is replaced by an empty REPLACE
+    snapshot (its rows must still become invisible)."""
+    from swingstream.operators.dedup import dedup_survivors, exact_dup_pairs
+    from swingstream.streaming.compaction import compact_dedup
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    rows0 = [(i, f"unique-{i}") for i in range(10)]
+    rows1 = [(11, "unique-3"), (12, "pair"), (13, "pair"), (14, "solo")]
+    rows2 = [(i, f"clean-{i}") for i in range(20, 25)]
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    t.commit(0, df(rows0))
+    t.commit(1, df(rows1))  # 11 loses to 3 (cross-commit), 13 to 12
+    t.commit(2, df(rows2))  # duplicate-free
+    pf = lambda d: exact_dup_pairs(d)  # noqa: E731
+
+    m = compact_dedup(spark, t, pf, compaction_id="compact-a")
+    assert m is not None and m["metrics"]["targeted"] is True
+    assert [str(b) for b in m["replaces"]] == ["1"]
+    assert m["metrics"]["rows_in"] == len(rows1)
+    # clean commits' ORIGINAL append manifests are still the active ones
+    assert {str(a["batch_id"]) for a in t.active_manifests()} == \
+        {"0", "2", "compact-a"}
+
+    all_docs = df(rows0 + rows1 + rows2)
+    expected = sorted(
+        dedup_survivors(all_docs, pf(all_docs), "doc_id")
+        .toPandas()["doc_id"])
+    assert expected == sorted(list(range(10)) + [12, 14] + list(range(20, 25)))
+    assert sorted(t.read(spark).toPandas()["doc_id"]) == expected
+
+    # a pass that discovers no losers is an exact no-op: None returned,
+    # no manifest written, no intent left behind
+    n_manifests = len(t.manifests())
+    assert compact_dedup(spark, t, pf, compaction_id="compact-b") is None
+    assert len(t.manifests()) == n_manifests
+    assert not os.path.exists(t._manifest_path("compact-b") + ".intent")
+
+    # a commit whose rows ALL lose: replaced by an EMPTY rewrite so its
+    # rows become invisible, everything else untouched
+    t.commit(3, df([(30, "unique-0"), (31, "unique-1")]))
+    m2 = compact_dedup(spark, t, pf, compaction_id="compact-c")
+    assert m2 is not None and [str(b) for b in m2["replaces"]] == ["3"]
+    assert m2["metrics"]["rows"] == 0
+    assert sorted(t.read(spark).toPandas()["doc_id"]) == expected
+    assert {str(a["batch_id"]) for a in t.active_manifests()} == \
+        {"0", "2", "compact-a", "compact-c"}
 
 
 def test_feature_query_matches_watermark_oracle(spark, stream_dir, tmp_path):
