@@ -245,6 +245,94 @@ def compact_dedup(
     return manifest
 
 
+def compact_small_files(
+    spark: SparkSession,
+    table: IcebergLiteTable,
+    min_rows: int = 100_000,
+    target_files: int = 1,
+    compaction_id: str | None = None,
+) -> dict | None:
+    """Bin-pack small active commits into one — the OTHER Iceberg
+    rewrite_data_files use-case, complementing the targeted dedup pass
+    (which deliberately stops consolidating duplicate-free commits).
+
+    Every active commit with fewer than ``min_rows`` rows is merged
+    into a single REPLACE commit of ``target_files`` files.  Streaming
+    micro-batches produce many small commits; at scale each extra file
+    costs a task + open per downstream scan, so periodic consolidation
+    keeps read amplification bounded without paying the dedup pass's
+    discovery work.  Pure metadata decision (manifest row counts) +
+    one scan restricted to the small commits' files — the big commits
+    are never read or rewritten.  Rows pass through byte-unchanged (no
+    dedup here); returns None when fewer than two commits qualify or
+    the id was already committed.
+
+    Crash/retry: same intent-sidecar guard as compact_dedup — the
+    merged content is the union of exactly the recorded commits, so a
+    retry must see the same qualifying set (an interleaved small
+    append would change it) or fail loudly.
+    """
+    active = table.active_manifests()
+    cid = compaction_id or f"binpack-adhoc-{len(table.manifests())}"
+    if table.committed(cid):
+        return None
+    small = [m for m in active if m["metrics"]["rows"] < min_rows]
+    if len(small) < 2:
+        return None
+    replaces = [m["batch_id"] for m in small]
+    active_ids = [str(m["batch_id"]) for m in active]
+
+    intent_path = table._manifest_path(cid) + ".intent"
+    orphan_dir = os.path.join(table.data_dir, f"batch-{cid}")
+    if os.path.isdir(orphan_dir):
+        if not os.path.exists(intent_path):
+            raise RuntimeError(
+                f"orphaned bin-pack dir {orphan_dir} has no intent record "
+                f"— remove the dir to recompute"
+            )
+        with open(intent_path) as fh:
+            recorded = json.load(fh)["replaces"]
+        if [str(b) for b in recorded] != [str(b) for b in replaces]:
+            raise RuntimeError(
+                f"bin-pack {cid} retry: qualifying commit set changed "
+                f"since the crashed attempt (recorded {recorded}, now "
+                f"{replaces}) — remove {orphan_dir} to recompute"
+            )
+    else:
+        tmp = intent_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"replaces": replaces, "active": active_ids,
+                 "scope": "bin-pack"},
+                fh,
+                default=str,
+            )
+        os.replace(tmp, intent_path)
+
+    files = [
+        os.path.join(table.data_dir, f) for m in small for f in m["files"]
+    ]
+    merged = table._read_files(spark, files)
+    manifest = table.commit(
+        cid,
+        merged,
+        n_files=target_files,
+        operation="bin-pack",
+        replaces=replaces,
+        extra_metrics={
+            "rows_in": sum(m["metrics"]["rows"] for m in small),
+            "input_commits": len(small),
+            "scope": "bin-pack",
+        },
+    )
+    if manifest is not None:
+        try:
+            os.remove(intent_path)
+        except OSError:
+            pass
+    return manifest
+
+
 def run_corpus_stream_with_compaction(
     spark: SparkSession,
     docs_stream: DataFrame,

@@ -363,6 +363,43 @@ def test_targeted_compaction_rewrites_only_affected_commits(spark, tmp_path):
         {"0", "2", "compact-a", "compact-c"}
 
 
+def test_binpack_compaction_merges_small_commits(spark, tmp_path):
+    """r5: compact_small_files bin-packs small active commits into one
+    REPLACE commit (rows byte-unchanged, big commits never read);
+    qualifying-set selection is pure manifest metadata; replay and
+    fewer-than-two-qualifiers are no-ops."""
+    from swingstream.streaming.compaction import compact_small_files
+
+    def df(lo, n):
+        return spark.createDataFrame(
+            [(i, f"t-{i}") for i in range(lo, lo + n)],
+            "doc_id long, text string",
+        )
+
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    t.commit(0, df(0, 5))
+    t.commit(1, df(10, 5))
+    t.commit(2, df(20, 500))  # big: must never be rewritten
+    t.commit(3, df(1000, 5))
+
+    m = compact_small_files(spark, t, min_rows=100, compaction_id="bp-0")
+    assert m is not None and m["operation"] == "bin-pack"
+    assert sorted(str(b) for b in m["replaces"]) == ["0", "1", "3"]
+    assert len(m["files"]) == 1  # packed into a single file
+    assert m["metrics"]["rows"] == 15
+    assert {str(a["batch_id"]) for a in t.active_manifests()} == {"2", "bp-0"}
+    assert t.total_rows() == 515
+    got = sorted(t.read(spark).toPandas()["doc_id"])
+    assert got == sorted(
+        list(range(5)) + list(range(10, 15))
+        + list(range(20, 520)) + list(range(1000, 1005)))
+    # replay no-op; a single qualifying commit (bp-0 itself) is a no-op
+    assert compact_small_files(
+        spark, t, min_rows=100, compaction_id="bp-0") is None
+    assert compact_small_files(
+        spark, t, min_rows=100, compaction_id="bp-1") is None
+
+
 def test_feature_query_matches_watermark_oracle(spark, stream_dir, tmp_path):
     from swingstream.streaming.pipeline import run_feature_query
 
