@@ -134,7 +134,14 @@ class IcebergLiteTable:
                 f for f in os.listdir(final_dir) if f.endswith(".parquet")
             )
             lineage = []
-            expected = [(f.name, f.dataType) for f in df.schema.fields]
+            # compare on simpleString(): it carries names and types but
+            # ERASES nullability — from_arrow_schema reconstructs
+            # containers as nullable (e.g. collect_list output round-
+            # trips ArrayType(containsNull=False) -> True), which would
+            # permanently refuse a legitimate retry of identical data
+            expected = [
+                (f.name, f.dataType.simpleString()) for f in df.schema.fields
+            ]
             for f in parts:
                 md = pq.read_metadata(os.path.join(final_dir, f))
                 # full schema check — NAMES AND TYPES (r4 advice: a stale
@@ -148,7 +155,10 @@ class IcebergLiteTable:
                 adopted = None
                 for ntz in (False, True):
                     conv = from_arrow_schema(arrow, prefer_timestamp_ntz=ntz)
-                    adopted = [(fl.name, fl.dataType) for fl in conv.fields]
+                    adopted = [
+                        (fl.name, fl.dataType.simpleString())
+                        for fl in conv.fields
+                    ]
                     if adopted == expected:
                         break
                 if adopted != expected:

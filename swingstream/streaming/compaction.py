@@ -80,6 +80,56 @@ def _commit_dir_label(batch_id) -> str:
     return f"batch-{int(b):010d}" if b.isdigit() else f"batch-{b}"
 
 
+def _guard_and_record_intent(
+    table: IcebergLiteTable, cid, replaces: list, active_ids: list, scope: str
+) -> None:
+    """Crash/retry intent sidecar, shared by every REPLACE-producing
+    maintenance pass: record what the pass will REPLACE — and the full
+    active set its output was computed from — BEFORE any data publish.
+    A retry that finds crash-orphaned published data must see BOTH sets
+    unchanged, else adopting would mark commits replaced without their
+    rows existing in the adopted files (silent row loss; r4 advice)."""
+    intent_path = table._manifest_path(cid) + ".intent"
+    orphan_dir = os.path.join(table.data_dir, _commit_dir_label(cid))
+    if os.path.isdir(orphan_dir):
+        if not os.path.exists(intent_path):
+            raise RuntimeError(
+                f"orphaned compaction dir {orphan_dir} has no intent "
+                f"record — cannot verify which snapshot it was computed "
+                f"from; remove the dir to recompute"
+            )
+        with open(intent_path) as fh:
+            recorded = json.load(fh)
+        rec_active = recorded.get("active", recorded["replaces"])
+        if [str(b) for b in rec_active] != active_ids or [
+            str(b) for b in recorded["replaces"]
+        ] != [str(b) for b in replaces]:
+            raise RuntimeError(
+                f"compaction {cid} retry: active snapshot changed since "
+                f"the crashed attempt published its files (recorded "
+                f"{recorded['replaces']} of {rec_active}, now {replaces} "
+                f"of {active_ids}) — adopting would mark commits "
+                f"replaced without their rows; remove {orphan_dir} to "
+                f"recompute from the current snapshot"
+            )
+    else:
+        tmp = intent_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"replaces": replaces, "active": active_ids, "scope": scope},
+                fh,
+                default=str,
+            )
+        os.replace(tmp, intent_path)
+
+
+def _clear_intent(table: IcebergLiteTable, cid) -> None:
+    try:
+        os.remove(table._manifest_path(cid) + ".intent")
+    except OSError:
+        pass
+
+
 def compact_dedup(
     spark: SparkSession,
     table: IcebergLiteTable,
@@ -120,6 +170,12 @@ def compact_dedup(
     otherwise be marked replaced without its rows existing in the
     adopted files (silent row loss; r4 advice).
     """
+    if scope not in ("active", "full-history"):
+        raise ValueError(
+            f"unknown compaction scope {scope!r}: expected 'active' or "
+            f"'full-history' (a typo here would silently downgrade the "
+            f"drain pass to the incremental approximation)"
+        )
     active = table.active_manifests()
     if not active:
         return None
@@ -157,7 +213,7 @@ def compact_dedup(
             .select(F.col("id").alias(id_col))
             .localCheckpoint(eager=True)
         )
-        tagged = table.read(spark).select(
+        tagged = docs.select(
             "*",
             F.element_at(
                 F.split(F.col("_metadata.file_path"), "/"), -2
@@ -186,45 +242,12 @@ def compact_dedup(
         rows_in = sum(m["metrics"]["rows"] for m in active)
         input_commits = len(active)
 
-    active_ids = [str(m["batch_id"]) for m in active]
-    intent_path = table._manifest_path(cid) + ".intent"
-    orphan_dir = os.path.join(table.data_dir, f"batch-{cid}")
-    if os.path.isdir(orphan_dir):
-        # published data exists from a crashed attempt; the commit below
-        # will ADOPT it, so the snapshot it was computed from must still
-        # be current — both the replaced subset AND the full active set
-        # (the survivor content of a targeted rewrite depends on pair
-        # discovery over the WHOLE snapshot, not just the replaced part)
-        if not os.path.exists(intent_path):
-            raise RuntimeError(
-                f"orphaned compaction dir {orphan_dir} has no intent "
-                f"record — cannot verify which snapshot it was computed "
-                f"from; remove the dir to recompute"
-            )
-        with open(intent_path) as fh:
-            recorded = json.load(fh)
-        rec_active = recorded.get("active", recorded["replaces"])
-        if [str(b) for b in rec_active] != active_ids or [
-            str(b) for b in recorded["replaces"]
-        ] != [str(b) for b in replaces]:
-            raise RuntimeError(
-                f"compaction {cid} retry: active snapshot changed since "
-                f"the crashed attempt published its files (recorded "
-                f"{recorded['replaces']} of {rec_active}, now {replaces} "
-                f"of {active_ids}) — adopting would mark commits "
-                f"replaced without their rows; remove {orphan_dir} to "
-                f"recompute from the current snapshot"
-            )
-    else:
-        tmp = intent_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {"replaces": replaces, "active": active_ids, "scope": scope},
-                fh,
-                default=str,
-            )
-        os.replace(tmp, intent_path)
-
+    # the survivor content of a targeted rewrite depends on pair
+    # discovery over the WHOLE snapshot, not just the replaced part, so
+    # the retry guard pins the full active set alongside the replaces
+    _guard_and_record_intent(
+        table, cid, replaces, [str(m["batch_id"]) for m in active], scope
+    )
     manifest = table.commit(
         cid,
         survivors,
@@ -238,10 +261,7 @@ def compact_dedup(
         },
     )
     if manifest is not None:
-        try:
-            os.remove(intent_path)
-        except OSError:
-            pass
+        _clear_intent(table, cid)
     return manifest
 
 
@@ -280,34 +300,10 @@ def compact_small_files(
     if len(small) < 2:
         return None
     replaces = [m["batch_id"] for m in small]
-    active_ids = [str(m["batch_id"]) for m in active]
-
-    intent_path = table._manifest_path(cid) + ".intent"
-    orphan_dir = os.path.join(table.data_dir, f"batch-{cid}")
-    if os.path.isdir(orphan_dir):
-        if not os.path.exists(intent_path):
-            raise RuntimeError(
-                f"orphaned bin-pack dir {orphan_dir} has no intent record "
-                f"— remove the dir to recompute"
-            )
-        with open(intent_path) as fh:
-            recorded = json.load(fh)["replaces"]
-        if [str(b) for b in recorded] != [str(b) for b in replaces]:
-            raise RuntimeError(
-                f"bin-pack {cid} retry: qualifying commit set changed "
-                f"since the crashed attempt (recorded {recorded}, now "
-                f"{replaces}) — remove {orphan_dir} to recompute"
-            )
-    else:
-        tmp = intent_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {"replaces": replaces, "active": active_ids,
-                 "scope": "bin-pack"},
-                fh,
-                default=str,
-            )
-        os.replace(tmp, intent_path)
+    _guard_and_record_intent(
+        table, cid, replaces, [str(m["batch_id"]) for m in active],
+        "bin-pack",
+    )
 
     files = [
         os.path.join(table.data_dir, f) for m in small for f in m["files"]
@@ -326,10 +322,7 @@ def compact_small_files(
         },
     )
     if manifest is not None:
-        try:
-            os.remove(intent_path)
-        except OSError:
-            pass
+        _clear_intent(table, cid)
     return manifest
 
 
@@ -383,7 +376,20 @@ def run_corpus_stream_with_compaction(
     )
     q.awaitTermination()
     if final_compaction:
+        # key the final pass on the LAST append commit so a later
+        # re-drain of the same out_root/checkpoint (incremental
+        # availableNow restarts) gets a fresh final pass over the new
+        # data instead of replaying into the committed() no-op, while a
+        # retry of the SAME drain still deduplicates to a no-op
+        appends = [
+            int(str(m["batch_id"]))
+            for m in table.append_manifests()
+            if str(m["batch_id"]).isdigit()
+        ]
+        final_id = (
+            f"compact-final-{max(appends)}" if appends else "compact-final"
+        )
         compact_dedup(spark, table, pf, id_col=id_col,
-                      compaction_id="compact-final", scope=final_scope,
+                      compaction_id=final_id, scope=final_scope,
                       targeted=targeted)
     return table

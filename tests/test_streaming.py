@@ -400,6 +400,116 @@ def test_binpack_compaction_merges_small_commits(spark, tmp_path):
         spark, t, min_rows=100, compaction_id="bp-1") is None
 
 
+def test_digit_compaction_id_orphan_guard_not_bypassed(spark, tmp_path):
+    """r5 review fix: the crash-retry guard must locate the orphaned
+    data dir with the SAME zero-padded label catalog.commit publishes
+    under — for an all-digit compaction_id the old f\"batch-{cid}\"
+    looked at batch-7 while the data sat in batch-0000000007, so the
+    stale-snapshot check was silently bypassed and commit() adopted
+    stale files under a fresh intent."""
+    from swingstream.operators.dedup import exact_dup_pairs
+    from swingstream.streaming.compaction import compact_dedup
+
+    def df(lo, n):
+        return spark.createDataFrame(
+            [(i, "txt-%d" % (i % 5)) for i in range(lo, lo + n)],
+            "doc_id long, text string",
+        )
+
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    t.commit(0, df(0, 20))
+    pf = lambda d: exact_dup_pairs(d)  # noqa: E731
+    orig = IcebergLiteTable._write_manifest
+
+    def boom(self, batch_id, *a, **k):
+        if str(batch_id) == "7":
+            raise RuntimeError("injected crash before manifest write")
+        return orig(self, batch_id, *a, **k)
+
+    IcebergLiteTable._write_manifest = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_dedup(spark, t, pf, compaction_id="7")
+    finally:
+        IcebergLiteTable._write_manifest = orig
+    assert os.path.isdir(os.path.join(t.data_dir, "batch-0000000007"))
+    t.commit(1, df(100, 10))  # append lands before the retry
+    with pytest.raises(RuntimeError, match="active snapshot changed"):
+        compact_dedup(spark, t, pf, compaction_id="7")
+    assert not t.committed("7")
+    assert t.total_rows() == 30  # nothing lost, nothing stale adopted
+
+
+def test_redrain_runs_fresh_final_compaction(spark, tmp_path):
+    """r5 review fix: re-running the drained stream over the same
+    out_root/checkpoint after new files arrive (incremental availableNow
+    restarts) must run a FRESH final compaction over the new data — the
+    old constant \"compact-final\" id replayed into the committed()
+    no-op and left the second drain's duplicates alive."""
+    import time
+
+    from swingstream.operators.dedup import exact_dup_pairs
+    from swingstream.streaming.compaction import run_corpus_stream_with_compaction
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    pd.DataFrame({"doc_id": [1, 2], "text": ["x", "x"]}).to_parquet(
+        os.path.join(d, "part-0000.parquet"), index=False)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        return run_corpus_stream_with_compaction(
+            spark, stream, str(tmp_path / "tbl"), str(tmp_path / "ck"),
+            pair_fn=lambda dd: exact_dup_pairs(dd), id_col="doc_id",
+            every=0,  # no periodic passes: the final pass must do the work
+        )
+
+    t = drain()  # final pass compact-final-0 removes doc 2
+    assert sorted(t.read(spark).toPandas()["doc_id"]) == [1]
+
+    p = os.path.join(d, "part-0001.parquet")
+    pd.DataFrame({"doc_id": [3], "text": ["x"]}).to_parquet(p, index=False)
+    os.utime(p, (time.time() + 20, time.time() + 20))
+    t = drain()  # second drain: doc 3 duplicates doc 1 across drains
+    assert sorted(t.read(spark).toPandas()["doc_id"]) == [1]
+    finals = [m for m in t.manifests()
+              if str(m["batch_id"]).startswith("compact-final")]
+    assert len(finals) == 2  # one fresh final pass per drain
+
+
+def test_compaction_rejects_unknown_scope(spark, tmp_path):
+    """r5 review fix: a scope typo must raise, not silently downgrade
+    the drain pass to the incremental approximation."""
+    from swingstream.operators.dedup import exact_dup_pairs
+    from swingstream.streaming.compaction import compact_dedup
+
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    with pytest.raises(ValueError, match="unknown compaction scope"):
+        compact_dedup(spark, t, lambda d: exact_dup_pairs(d),
+                      scope="full_history")
+
+
+def test_adoption_tolerates_nullability_roundtrip(spark, tmp_path):
+    """r5 review fix: parquet footers round-trip container nullability
+    (ArrayType containsNull False->True), so the adoption schema check
+    must compare names+types with nullability erased — else a
+    legitimate crash-retry of identical data is refused forever."""
+    df = (
+        spark.range(10)
+        .groupBy((F.col("id") % 2).alias("k"))
+        .agg(F.collect_list("id").alias("vals"))
+    )
+    assert not df.schema["vals"].dataType.containsNull  # fixture premise
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    t.commit(5, df)
+    os.remove(t._manifest_path(5))  # crash: data published, manifest lost
+    m = t.commit(5, df)  # retry must ADOPT, not refuse
+    assert m is not None and m["metrics"]["rows"] == 2
+
+
 def test_feature_query_matches_watermark_oracle(spark, stream_dir, tmp_path):
     from swingstream.streaming.pipeline import run_feature_query
 
@@ -957,7 +1067,7 @@ def test_compaction_chain_semantics_incremental_vs_full_history(spark, tmp_path)
     got_full = sorted(full.read(spark).toPandas()["doc_id"])
     assert got_full == one_shot
     final = [m for m in full.manifests()
-             if m["batch_id"] == "compact-final"]
+             if str(m["batch_id"]).startswith("compact-final")]
     assert final and final[0]["metrics"]["scope"] == "full-history"
 
 
