@@ -338,6 +338,8 @@ def run_corpus_stream_with_compaction(
     final_compaction: bool = True,
     final_scope: str = "full-history",
     targeted: bool = True,
+    binpack_every: int = 0,
+    binpack_min_rows: int = 100_000,
 ) -> IcebergLiteTable:
     """Append a streaming document DataFrame to an IcebergLite corpus
     with a dedup compaction every ``every`` commits (plus one final pass
@@ -351,9 +353,17 @@ def run_corpus_stream_with_compaction(
     cheaper incremental approximation when the pair graph is known to
     be clique-shaped (exact-content dedup).
 
+    ``binpack_every > 0`` additionally runs ``compact_small_files``
+    every that many commits (after the dedup pass when both fire on
+    the same commit): the targeted dedup default deliberately stops
+    consolidating duplicate-free commits, so a long-running stream
+    accumulates one small commit per micro-batch — the bin-pack pass
+    is the maintenance loop that keeps the active file count bounded.
+    Commits at or above ``binpack_min_rows`` rows are never rewritten.
+
     foreachBatch runs batches serially, so the between-trigger batch
-    compaction never races an append; its commit id is pinned to the
-    triggering batch_id for exactly-once under retries.
+    compactions never race an append; every maintenance commit id is
+    pinned to the triggering batch_id for exactly-once under retries.
     """
     table = IcebergLiteTable(out_root)
     pf = pair_fn if pair_fn is not None else (
@@ -366,6 +376,9 @@ def run_corpus_stream_with_compaction(
             compact_dedup(spark, table, pf, id_col=id_col,
                           compaction_id=f"compact-{batch_id}",
                           targeted=targeted)
+        if binpack_every > 0 and (batch_id + 1) % binpack_every == 0:
+            compact_small_files(spark, table, min_rows=binpack_min_rows,
+                                compaction_id=f"binpack-{batch_id}")
 
     q = (
         docs_stream.writeStream.foreachBatch(sink)

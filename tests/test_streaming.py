@@ -400,6 +400,78 @@ def test_binpack_compaction_merges_small_commits(spark, tmp_path):
         spark, t, min_rows=100, compaction_id="bp-1") is None
 
 
+def test_streaming_harness_periodic_binpack(spark, tmp_path):
+    """r5: the streaming harness's ``binpack_every`` maintenance loop —
+    periodic bin-packing bounds the active commit count WITHOUT
+    changing row content (rows pass through byte-unchanged), and the
+    drain-time full-history dedup pass still equals the one-shot batch
+    dedup over the appended history: bin-pack commits are REPLACE
+    snapshots so they never enter the full-history pair-discovery
+    basis, while the targeted rewrite must attribute loser rows onto
+    the bin-pack commit dirs they now live in.  Dedup cadence is off
+    (``every=0``) so bin-packing is the only periodic maintenance —
+    with both at the same cadence the dedup pass collapses the active
+    set first and bin-pack correctly no-ops."""
+    from swingstream.operators.dedup import dedup_survivors, exact_dup_pairs
+    from swingstream.sources.pages import pages_from_pandas, read_pages_stream
+    from swingstream.streaming.compaction import run_corpus_stream_with_compaction
+
+    spec = PagesSpec(
+        n_hosts=3, n_buckets=20, base_docs_per_bucket=4,
+        content_dup_frac=0.15, late_frac=0.0,
+    )
+    pdf = gen_pages(spec)
+    d = tmp_path / "corpus_stream"
+    write_pages_stream_dir(pdf, str(d), n_files=6)
+
+    def with_uid(df):
+        return df.withColumn(
+            "row_uid",
+            F.concat_ws("@", "url", F.unix_micros(
+                F.col("warc_ts").cast("timestamp")).cast("string")),
+        )
+
+    stream = with_uid(
+        read_pages_stream(spark, str(d), max_files_per_trigger=1)
+        .withWatermark("warc_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["url", "warc_ts"])
+    )
+    table = run_corpus_stream_with_compaction(
+        spark, stream, str(tmp_path / "corpus"), str(tmp_path / "ck"),
+        id_col="row_uid", every=0, targeted=True,
+        binpack_every=2, binpack_min_rows=1_000_000,
+    )
+
+    all_pages = with_uid(
+        pages_from_pandas(spark, pdf).dropDuplicates(["url", "warc_ts"])
+    )
+    expected = dedup_survivors(
+        all_pages, exact_dup_pairs(all_pages, id_col="row_uid"), "row_uid"
+    ).toPandas()
+    got = table.read(spark).toPandas()
+    assert sorted(got["row_uid"]) == sorted(expected["row_uid"])
+    assert table.total_rows() == len(expected)
+
+    all_m = table.manifests()
+    binpacks = [m for m in all_m if m.get("operation") == "bin-pack"]
+    assert binpacks, "periodic bin-pack passes must have committed"
+    assert all(len(m.get("replaces", [])) >= 2 for m in binpacks)
+    # the drain-time dedup ran full-history and attributed losers onto
+    # the bin-packed commit(s) — its replaces must name a bin-pack id
+    finals = [m for m in all_m if m.get("operation") == "dedup-compaction"]
+    assert finals and finals[-1]["metrics"]["scope"] == "full-history"
+    assert any(
+        str(b).startswith("binpack-") for b in finals[-1]["replaces"]
+    )
+    # maintenance must keep the ACTIVE commit count bounded well below
+    # the append count (everything folds into the last bin-pack + the
+    # final dedup rewrite, plus at most a straggler append)
+    assert len(table.active_manifests()) <= 3
+    # append history stays fully readable for the full-history basis
+    assert table.read_history(spark).count() == \
+        pdf.drop_duplicates(["url", "warc_ts"]).shape[0]
+
+
 def test_digit_compaction_id_orphan_guard_not_bypassed(spark, tmp_path):
     """r5 review fix: the crash-retry guard must locate the orphaned
     data dir with the SAME zero-padded label catalog.commit publishes
