@@ -858,6 +858,140 @@ ORDER BY doc_id
 """
 
 
+def q_docs_textquality(spark, sf):
+    """Gopher-style per-doc repetition gates (textquality.repetition_stats)
+    joined with the PII scrub (textquality.pii_scrub).  Repetition runs on
+    the raw text; the PII stage runs on a deterministic enrichment
+    (synthetic email/phone appended by doc_id residue, identical expression
+    on both engines) so the masking regexes are exercised — and
+    hash-verified byte-for-byte — on every driver check, not just on
+    PII-free fixture text."""
+    _prep(spark)
+    from swingstream.operators.textquality import pii_scrub, repetition_stats
+
+    d = _t(spark, sf, "documents")
+    rep = repetition_stats(d, text_col="text", id_col="doc_id")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call +1 555-000-"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" today"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    pii = pii_scrub(enriched, text_col="text", id_col="doc_id")
+    return (
+        rep.join(pii, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            _fr6(F.col("top_token_frac")).alias("top_token_frac"),
+            _fr6(F.col("dup_bigram_frac")).alias("dup_bigram_frac"),
+            "n_emails",
+            "n_phones",
+            "text_masked",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_textquality() -> str:
+    from swingstream.operators.textquality import EMAIL_RE, PHONE_RE
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(text), '\\s+'), t -> LENGTH(t) > 0) AS t
+  FROM documents),
+top AS (
+  SELECT doc_id, MAX(c) AS max_c, SUM(c) AS n_tokens FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks)
+    GROUP BY doc_id, tok)
+  GROUP BY doc_id),
+bi AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT bigram) AS n_distinct_bigrams
+  FROM (SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+        FROM toks, UNNEST(range(1, len(t))) AS u(i))
+  GROUP BY doc_id),
+enriched AS (
+  SELECT doc_id, text ||
+    (CASE WHEN doc_id % 3 = 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+          ELSE '' END) ||
+    (CASE WHEN doc_id % 5 = 0
+          THEN ' call +1 555-000-' || CAST(doc_id AS VARCHAR) || ' today'
+          ELSE '' END) AS text
+  FROM documents)
+SELECT d.doc_id,
+  CAST(COALESCE(top.n_tokens, 0) AS BIGINT) AS n_tokens,
+  FLOOR((CASE WHEN COALESCE(top.n_tokens, 0) > 0
+              THEN top.max_c / top.n_tokens ELSE CAST(0.0 AS DOUBLE) END)
+        * 1000000.0 + 0.5) / 1000000.0 AS top_token_frac,
+  FLOOR((CASE WHEN COALESCE(bi.n_bigrams, 0) > 0
+              THEN 1.0 - bi.n_distinct_bigrams / bi.n_bigrams ELSE CAST(0.0 AS DOUBLE) END)
+        * 1000000.0 + 0.5) / 1000000.0 AS dup_bigram_frac,
+  CAST(len(regexp_extract_all(e.text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(e.text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  regexp_replace(regexp_replace(e.text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g') AS text_masked
+FROM documents d
+LEFT JOIN top ON d.doc_id = top.doc_id
+LEFT JOIN bi ON d.doc_id = bi.doc_id
+JOIN enriched e ON d.doc_id = e.doc_id
+ORDER BY d.doc_id
+"""
+
+
+SQL_DOCS_TEXTQUALITY = _sql_textquality()
+
+
+def q_docs_boilerplate(spark, sf):
+    """Corpus-level boilerplate phrase mining (textquality.boilerplate_ngrams):
+    token trigrams in >= 2 distinct documents, top 20 by document frequency,
+    deterministically ordered (n_docs desc, n_occurrences desc, ngram)."""
+    _prep(spark)
+    from swingstream.operators.textquality import boilerplate_ngrams
+
+    d = _t(spark, sf, "documents")
+    return boilerplate_ngrams(
+        d, n=3, min_docs=2, k=20, text_col="text", id_col="doc_id"
+    )
+
+
+SQL_DOCS_BOILERPLATE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(text), '\\s+'), t -> LENGTH(t) > 0) AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3)
+SELECT ngram,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY ngram
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, ngram
+LIMIT 20
+"""
+
+
 _EMB_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
@@ -1761,10 +1895,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_swing_auroc": q_swing_auroc,
     "q_pages_features": q_pages_features,
     "q_session_series": q_session_series,
-    # --- slots 49-50: highest-value rows-only queries (no DuckDB oracle) ---
+    # --- slots 49-50: textquality ops (oracle-backed) fill the window ---
+    "q_docs_textquality": q_docs_textquality,
+    "q_docs_boilerplate": q_docs_boilerplate,
+    # --- past the driver's 50-entry window: rows-only queries ---
+    # q_swing_edges / q_swing_sessions moved out in round 5 when the two
+    # oracle-backed textquality queries landed: a hash-verified external
+    # check outranks a rows-only one, and the flagship SWING pipeline is
+    # still externally exercised every round via entry() plus the
+    # oracle-backed q_swing_rank_agg / q_swing_auroc / q_session_series
+    # stages.  All rows-only queries remain pinned by the local mirror
+    # (tests/test_contract.py::test_rows_only_queries_run).
     "q_swing_edges": q_swing_edges,
     "q_swing_sessions": q_swing_sessions,
-    # --- past the driver's 50-entry window: remaining rows-only queries ---
     "q_swing_rf": q_swing_rf,
     "q_swing_plsr": q_swing_plsr,
     "q_swing_permutation": q_swing_permutation,
@@ -1821,4 +1964,6 @@ ORACLES: dict[str, str] = {
     "q_swing_rank_agg": SQL_SWING_RANK_AGG,
     "q_lagged_design": SQL_LAGGED_DESIGN,
     "q_swing_auroc": SQL_SWING_AUROC,
+    "q_docs_textquality": SQL_DOCS_TEXTQUALITY,
+    "q_docs_boilerplate": SQL_DOCS_BOILERPLATE,
 }

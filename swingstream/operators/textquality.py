@@ -1,0 +1,169 @@
+"""Corpus-quality operators a 100-TB training-data pipeline runs after
+dedup: intra-document repetition signals, corpus-level boilerplate
+phrase mining, and PII detection/masking.
+
+No reference-repo twin exists for these (mount empty; the reference is
+a network-inference tool) — they are the standard web-text curation
+stages published in the Gopher (Rae et al. 2021, §A1.1 repetition
+filters) and CCNet/RefinedWeb pipelines, re-expressed as Catalyst
+plans:
+
+* ``repetition_stats`` — per-document duplicate-token/bigram fractions
+  (the Gopher "repetition" quality gates).  Explode-based: tokens are
+  exploded once, aggregated by (doc_id[, token]) — uniform shuffle
+  keys, no per-row quadratic HOFs, window only WITHIN a document
+  (bounded partitions), so the shape survives 100× scale-up.
+* ``boilerplate_ngrams`` — corpus-wide template-phrase profile: token
+  n-grams ranked by document frequency.  One explode + one hash
+  aggregate on the n-gram string; top-k compiles to TakeOrderedAndProject
+  (no global sort materialization).
+* ``pii_scrub`` — email/phone counts + masked text as pure JVM-side
+  regexp expressions (whole-stage codegen; no Python in the path).
+  The regexes deliberately use the RE2-compatible subset that Java
+  regex and DuckDB RE2 evaluate identically, so the oracle can replay
+  the masking byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# RE2-compatible subset only (no backrefs/lookarounds): identical
+# semantics under Java regex (Spark) and RE2 (DuckDB oracle).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def _tokens(text: Column) -> Column:
+    """Whitespace tokens; empty/blank text yields an empty array (the
+    split('') -> [''] artifact is filtered so counts are true zeros)."""
+    return F.filter(
+        F.split(F.trim(text), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (Gopher §A1.1 quality gates):
+
+    * ``n_tokens`` — whitespace token count;
+    * ``top_token_frac`` — occurrences of the most frequent token /
+      n_tokens (0.0 for empty docs);
+    * ``dup_bigram_frac`` — 1 − distinct_bigrams / total_bigrams
+      (0.0 when fewer than 2 tokens).
+
+    Shape: one explode, aggregates keyed on (doc_id[, token]) — both
+    uniform — and a lag window PARTITIONED by doc_id (documents bound
+    the partition, never the corpus).  A template-farm corpus skews
+    the token key only per-document, not globally.
+    """
+    toks = docs.select(
+        id_col, F.posexplode(_tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    top = per_tok.groupBy(id_col).agg(
+        F.max("c").alias("max_c"), F.sum("c").alias("n_tokens")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(id_col, F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+    )
+    big = bigrams.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.count_distinct("bigram").alias("n_distinct_bigrams"),
+    )
+    return (
+        docs.select(id_col)
+        .join(top, id_col, "left")
+        .join(big, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.col("max_c") / F.col("n_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_token_frac"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                1.0 - F.col("n_distinct_bigrams") / F.col("n_bigrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_frac"),
+        )
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate phrase mining: token ``n``-grams that
+    appear in at least ``min_docs`` DISTINCT documents, ranked by
+    document frequency — the profile a CCNet-style pipeline uses to
+    strip template/navigation phrases.  Returns the top ``k`` as
+    (ngram, n_docs, n_occurrences), deterministically ordered by
+    (n_docs desc, n_occurrences desc, ngram).
+
+    Shape: the n-gram array is built per-row with one bounded HOF over
+    the token array (n string concats per token), exploded once, then
+    ONE hash aggregate keyed on the n-gram — the same uniform-shuffle
+    profile as a word-count; top-k compiles to TakeOrderedAndProject,
+    so no global sort ever materializes.
+    """
+    toks = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    return (
+        docs.select(id_col, _tokens(F.col(text_col)).alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(id_col, F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count_distinct(id_col).cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("ngram")
+        )
+        .limit(k)
+    )
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII detection + masking: per document, the count of email and
+    phone-number matches and the text with both replaced by
+    ``<EMAIL>`` / ``<PHONE>`` placeholders (emails masked first; the
+    oracle replays the same order).  Pure regexp column expressions —
+    JVM-side, whole-stage codegen, embarrassingly parallel; the RE2
+    subset keeps Spark and the DuckDB oracle byte-identical.
+    """
+    t = F.col(text_col)
+    return docs.select(
+        id_col,
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("text_masked"),
+    )

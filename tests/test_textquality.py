@@ -1,0 +1,157 @@
+"""Unit tests for swingstream/operators/textquality.py — the Gopher-style
+repetition gates, boilerplate n-gram mining, and PII scrub.
+
+The contract queries (q_docs_textquality / q_docs_boilerplate) hash-verify
+these against DuckDB on the driver tables, but that fixture text carries no
+real PII and no hand-checkable repetition values — these tests pin the
+semantics on constructed edge cases and cross-check the masking regexes
+against DuckDB's RE2 engine on adversarial strings (the claim that the
+Java-regex and RE2 evaluations agree byte-for-byte is load-bearing for the
+oracle)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from swingstream.operators.textquality import (
+    EMAIL_RE,
+    PHONE_RE,
+    boilerplate_ngrams,
+    pii_scrub,
+    repetition_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "a a a a",          # max repetition: 3 bigrams, 1 distinct
+                "x y z",            # all distinct
+                "",                 # empty
+                "   ",              # blank (split artifact must not count)
+                "one",              # single token: no bigrams
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_repetition_stats_hand_values(docs):
+    out = (
+        repetition_stats(docs).orderBy("doc_id").toPandas().set_index("doc_id")
+    )
+    assert out.loc[0, "n_tokens"] == 4
+    assert out.loc[0, "top_token_frac"] == 1.0
+    assert out.loc[0, "dup_bigram_frac"] == pytest.approx(2.0 / 3.0)
+    assert out.loc[1, "n_tokens"] == 3
+    assert out.loc[1, "top_token_frac"] == pytest.approx(1.0 / 3.0)
+    assert out.loc[1, "dup_bigram_frac"] == 0.0
+    for empty_id in (2, 3):
+        assert out.loc[empty_id, "n_tokens"] == 0
+        assert out.loc[empty_id, "top_token_frac"] == 0.0
+        assert out.loc[empty_id, "dup_bigram_frac"] == 0.0
+    assert out.loc[4, "n_tokens"] == 1
+    assert out.loc[4, "dup_bigram_frac"] == 0.0
+
+
+PII_CASES = [
+    "plain text with no pii at all",
+    "mail a.b+c@x-y.co.uk ok",
+    "two bob@ex.com and alice@ex.org emails",
+    "adjacent punctuation: bob@ex.com. next",
+    "phone +1 555-000-1234 done",
+    "bare digits 888 123 4567 run",
+    "mixed: carol@ex.net then +44 20-7946 0958 end",
+    "too short 1234567 not a phone",
+    "",
+]
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    pdf = pd.DataFrame({"doc_id": range(len(PII_CASES)), "text": PII_CASES})
+    out = (
+        pii_scrub(spark.createDataFrame(pdf))
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "n_emails"] == 0 and out.loc[0, "n_phones"] == 0
+    assert out.loc[0, "text_masked"] == PII_CASES[0]
+    assert out.loc[1, "text_masked"] == "mail <EMAIL> ok"
+    assert out.loc[2, "n_emails"] == 2
+    assert out.loc[2, "text_masked"] == "two <EMAIL> and <EMAIL> emails"
+    assert out.loc[3, "text_masked"] == "adjacent punctuation: <EMAIL>. next"
+    assert out.loc[4, "n_phones"] == 1
+    assert out.loc[4, "text_masked"] == "phone <PHONE> done"
+    assert out.loc[5, "n_phones"] == 1
+    assert out.loc[6, "n_emails"] == 1 and out.loc[6, "n_phones"] == 1
+    assert out.loc[7, "n_phones"] == 0  # {7,} needs 9+ chars total
+
+
+def test_pii_regexes_agree_with_re2(spark):
+    """Byte-for-byte Spark (Java regex) vs DuckDB (RE2) parity on the
+    adversarial strings — the invariant the q_docs_textquality oracle
+    leans on."""
+    pdf = pd.DataFrame({"doc_id": range(len(PII_CASES)), "text": PII_CASES})
+    got = (
+        pii_scrub(spark.createDataFrame(pdf))
+        .orderBy("doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.sql(
+        f"""
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+          regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                         '{PHONE_RE}', '<PHONE>', 'g') AS text_masked
+        FROM t ORDER BY doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_boilerplate_ngrams_mines_template_phrase(spark):
+    template = "click here to subscribe"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                f"alpha beta {template} gamma",
+                f"{template} delta epsilon",
+                f"zeta {template}",
+                "unrelated words only here now",
+                "to subscribe",  # shorter than n=3: contributes nothing
+                f"double {template} and {template} again",
+            ],
+        }
+    )
+    out = boilerplate_ngrams(
+        spark.createDataFrame(pdf), n=3, min_docs=2, k=10
+    ).toPandas()
+    # "click here to" / "here to subscribe" appear in 4 docs (doc 5 twice)
+    top = out.iloc[0]
+    assert top["ngram"] in ("click here to", "here to subscribe")
+    assert top["n_docs"] == 4
+    assert top["n_occurrences"] == 5
+    assert (out["n_docs"] >= 2).all()
+    # deterministic total order: (n_docs desc, n_occurrences desc, ngram asc)
+    key = list(zip(-out["n_docs"], -out["n_occurrences"], out["ngram"]))
+    assert key == sorted(key)
+
+
+def test_boilerplate_topk_uses_take_ordered(spark):
+    """The top-k must compile to TakeOrderedAndProject — a global sort
+    materialization over the corpus-wide n-gram table would not survive a
+    100x scale-up."""
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d", "a b c e"]})
+    plan = boilerplate_ngrams(spark.createDataFrame(pdf))._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
