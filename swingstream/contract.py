@@ -894,11 +894,16 @@ def q_docs_textquality(spark, sf):
         ).alias("text"),
     )
     pii = pii_scrub(enriched, text_col="text", id_col="doc_id")
+    bpe = d.select(
+        "doc_id", T.bpe_token_count(F.col("text")).cast("long").alias("n_tokens_bpe")
+    )
     return (
         rep.join(pii, "doc_id")
+        .join(bpe, "doc_id")
         .select(
             "doc_id",
             "n_tokens",
+            "n_tokens_bpe",
             _fr6(F.col("top_token_frac")).alias("top_token_frac"),
             _fr6(F.col("dup_bigram_frac")).alias("dup_bigram_frac"),
             "n_emails",
@@ -912,6 +917,7 @@ def q_docs_textquality(spark, sf):
 def _sql_textquality() -> str:
     from swingstream.operators.textquality import EMAIL_RE, PHONE_RE
 
+    bpe_re = T.BPE_TOKEN_RE.replace("'", "''")
     return f"""
 WITH toks AS (
   SELECT doc_id,
@@ -939,6 +945,7 @@ enriched AS (
   FROM documents)
 SELECT d.doc_id,
   CAST(COALESCE(top.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(d.text, '{bpe_re}')) AS BIGINT) AS n_tokens_bpe,
   FLOOR((CASE WHEN COALESCE(top.n_tokens, 0) > 0
               THEN top.max_c / top.n_tokens ELSE CAST(0.0 AS DOUBLE) END)
         * 1000000.0 + 0.5) / 1000000.0 AS top_token_frac,

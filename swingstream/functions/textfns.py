@@ -37,6 +37,25 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_of(text))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the RE2-compatible
+# subset (no lookarounds, ASCII classes) so Java regex (Spark) and RE2
+# (DuckDB oracle) produce identical counts: contraction suffixes, a
+# word/number/punct run with one optional leading space, or a
+# whitespace run.  Alternation is leftmost-first in both engines, so
+# a single space fuses into the following word exactly like the GPT-2
+# " ?\p{L}+" branch; multi-space runs fall through to \s+ (same token
+# COUNT as the GPT-2 "\s+(?!\S)" split, different boundary).
+BPE_TOKEN_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: # matches of the GPT-2-style pre-tokenizer
+    regex — the cheap LLM-budget estimator a training-data pipeline runs
+    per document (whitespace token_count underestimates punctuation-heavy
+    text)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 def char_class_count(text: Column, char_class: str) -> Column:
     """# chars matching a regex class, via length-difference (JVM-side)."""
     return F.length(text) - F.length(F.regexp_replace(text, char_class, ""))

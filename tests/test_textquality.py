@@ -14,6 +14,7 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from swingstream.operators.textquality import (
     EMAIL_RE,
@@ -115,6 +116,42 @@ def test_pii_regexes_agree_with_re2(spark):
                          '{PHONE_RE}', '<PHONE>', 'g') AS text_masked
         FROM t ORDER BY doc_id
         """
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+
+
+BPE_CASES = [
+    ("hello world", 2),          # " ?[A-Za-z]+" fuses single spaces
+    ("don't stop", 3),           # don / 't / " stop"
+    ("x1y", 3),                  # word / number / word splits
+    ("a,b!!c", 5),               # punct runs split from words
+    ("price: 1234 usd", 4),      # "price" / ":" / " 1234" / " usd"
+    ("  double  spaced", 4),     # \s+ runs count once each
+    ("", 0),
+]
+
+
+def test_bpe_token_count_hand_values_and_re2_parity(spark):
+    """The GPT-2-style pre-tokenizer count: pinned hand values AND
+    Java-regex == RE2 parity (the q_docs_textquality oracle embeds the
+    same pattern in DuckDB)."""
+    from swingstream.functions.textfns import BPE_TOKEN_RE, bpe_token_count
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(BPE_CASES)), "text": [t for t, _ in BPE_CASES]}
+    )
+    got = (
+        spark.createDataFrame(pdf)
+        .select("doc_id", bpe_token_count(F.col("text")).cast("long").alias("n"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(got["n"]) == [n for _, n in BPE_CASES]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.sql(
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, '{}')) AS BIGINT) AS n "
+        "FROM t ORDER BY doc_id".format(BPE_TOKEN_RE.replace("'", "''"))
     ).df()
     pd.testing.assert_frame_equal(got, want)
 
