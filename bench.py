@@ -100,6 +100,28 @@ def _dedup_similarity(spark, sf):
             spark.read.parquet(f"{sf}/embeddings.parquet"), threshold=0.3),
     }
 
+def _textquality_extras(spark):
+    """Round-5 corpus-quality ops, benched on the same realistic 5k
+    Zipf corpus as the dedup ops.  Recorded under `queries_extra` —
+    EXCLUDED from the round-comparable `value` sum (the headline set is
+    frozen at the round-3 protocol; extras get walls without breaking
+    round-over-round comparability)."""
+    from swingstream.operators.textquality import (
+        boilerplate_ngrams,
+        pii_scrub,
+        repetition_stats,
+    )
+
+    def docs():
+        return spark.read.parquet(_realistic_docs_path()).repartition(64)
+
+    return {
+        "q_docs_repetition_5k": lambda: repetition_stats(docs()),
+        "q_docs_boilerplate_5k": lambda: boilerplate_ngrams(docs()),
+        "q_docs_pii_5k": lambda: pii_scrub(docs()),
+    }
+
+
 # Sized so the pipeline is CPU-bound rather than micro-batch-overhead
 # bound at local[32] AND so parallel work dominates the ~15 s of per-run
 # fixed cost at the local[2] scaling level (efficiency >= 0.8 needs
@@ -215,21 +237,27 @@ def main() -> None:
     queries_median: dict[str, float] = {}
     query_repeats: dict[str, list[float]] = {}
 
-    def timed(name: str, build) -> None:
+    queries_extra: dict[str, float] = {}
+    queries_extra_median: dict[str, float] = {}
+
+    def timed(name: str, build, dest=None, dest_median=None) -> None:
         walls = []
         for _ in range(repeats):
             spark.catalog.clearCache()
             t = time.time()
             build().write.format("noop").mode("overwrite").save()
             walls.append(round(time.time() - t, 3))
-        queries[name] = min(walls)
-        queries_median[name] = round(statistics.median(walls), 3)
+        (queries if dest is None else dest)[name] = min(walls)
+        (queries_median if dest_median is None else dest_median)[name] = round(
+            statistics.median(walls), 3)
         query_repeats[name] = walls
 
     for name in HEADLINE:
         timed(name, lambda n=name: QUERIES[n](spark, sf_dir))
     for name, build in _dedup_similarity(spark, sf_dir).items():
         timed(name, build)
+    for name, build in _textquality_extras(spark).items():
+        timed(name, build, dest=queries_extra, dest_median=queries_extra_median)
 
     params = SwingParams(
         window_width=8, step_size=1, min_lag=1, max_lag=3,
@@ -277,6 +305,9 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "queries_median": queries_median,
+        # extras: benched but NOT in `value` (headline set frozen, round 3)
+        "queries_extra": queries_extra,
+        "queries_extra_median": queries_extra_median,
         "query_repeats": query_repeats,
         "sf": sf,
         "cpus": int(cpus),

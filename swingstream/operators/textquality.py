@@ -144,6 +144,45 @@ def boilerplate_ngrams(
     )
 
 
+def quality_gate(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_top_token_frac: float = 0.5,
+    max_dup_bigram_frac: float = 0.5,
+    mask_pii: bool = True,
+) -> DataFrame:
+    """Corpus admission gate: drop documents failing the Gopher-style
+    repetition thresholds (too short, dominated by one token, or mostly
+    duplicated bigrams) and mask PII in the survivors' text.  All other
+    columns pass through unchanged.
+
+    Shape: ``repetition_stats`` (uniform per-doc aggregation) reduced to
+    a keep-list, applied back with ONE left-semi join on ``id_col``, then
+    the pure-JVM masking expressions — no collect, no skewed keys, the
+    same profile per micro-batch as per batch.
+    """
+    rep = repetition_stats(docs, text_col=text_col, id_col=id_col)
+    keep = rep.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("top_token_frac") <= max_top_token_frac)
+        & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+    ).select(id_col)
+    out = docs.join(keep, [id_col], "left_semi")
+    if mask_pii:
+        out = out.withColumn(
+            text_col,
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+                PHONE_RE,
+                "<PHONE>",
+            ),
+        )
+    return out
+
+
 def pii_scrub(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -333,6 +333,7 @@ def run_corpus_stream_with_compaction(
     checkpoint: str,
     *,
     pair_fn: Callable[[DataFrame], DataFrame] | None = None,
+    gate_fn: Callable[[DataFrame], DataFrame] | None = None,
     id_col: str = "url",
     every: int = 4,
     final_compaction: bool = True,
@@ -361,6 +362,15 @@ def run_corpus_stream_with_compaction(
     is the maintenance loop that keeps the active file count bounded.
     Commits at or above ``binpack_min_rows`` rows are never rewritten.
 
+    ``gate_fn`` (e.g. ``textquality.quality_gate``) is an admission
+    transform applied to each micro-batch BEFORE the append: only its
+    output rows are committed, and the manifest records
+    ``rows_in_gate`` / ``rows_rejected_gate`` so per-commit admission
+    telemetry lives in the same ledger as the lineage (the counts a
+    100-TB curation pipeline alarms on).  The dedup passes then operate
+    on the gated corpus — identical ordering to the batch twin
+    (gate, then dedup).
+
     foreachBatch runs batches serially, so the between-trigger batch
     compactions never race an append; every maintenance commit id is
     pinned to the triggering batch_id for exactly-once under retries.
@@ -371,7 +381,25 @@ def run_corpus_stream_with_compaction(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        table.commit(batch_id, batch_df)
+        if gate_fn is not None:
+            # the batch is read several times (rows_in count, repetition
+            # stats, semi-join back, committed write) — pin both frames
+            # once instead of re-reading the source files per action
+            batch_df.persist()
+            admitted = gate_fn(batch_df).persist()
+            try:
+                n_in = batch_df.count()
+                n_adm = admitted.count()
+                table.commit(
+                    batch_id, admitted,
+                    extra_metrics={"rows_in_gate": n_in,
+                                   "rows_rejected_gate": n_in - n_adm},
+                )
+            finally:
+                admitted.unpersist()
+                batch_df.unpersist()
+        else:
+            table.commit(batch_id, batch_df)
         if every > 0 and (batch_id + 1) % every == 0:
             compact_dedup(spark, table, pf, id_col=id_col,
                           compaction_id=f"compact-{batch_id}",

@@ -1195,6 +1195,97 @@ def test_compaction_with_embedding_cosine_pair_fn(spark, tmp_path):
                for m in table.manifests())
 
 
+def test_streaming_quality_gate_matches_batch_and_records_metrics(spark, tmp_path):
+    """r5: quality-gated corpus ingest — run_corpus_stream_with_compaction's
+    gate_fn (textquality.quality_gate) drops degenerate-repetition docs and
+    masks PII BEFORE the exactly-once append, with per-commit admission
+    counts in the manifest ledger.  The gate is per-doc (repetition stats
+    never cross documents), so it commutes with micro-batching: the drained
+    gated+compacted corpus must equal the one-shot batch gate -> dedup.
+    Fixture mutations are keyed on a hash of (url, warc_ts) — NOT the row
+    index — so transport-redelivered copies mutate identically and the
+    arbitrary-survivor transport dedup stays parity-safe."""
+    import hashlib
+
+    from swingstream.operators.dedup import dedup_survivors, exact_dup_pairs
+    from swingstream.operators.textquality import quality_gate
+    from swingstream.sources.pages import pages_from_pandas, read_pages_stream
+    from swingstream.streaming.compaction import run_corpus_stream_with_compaction
+
+    spec = PagesSpec(
+        n_hosts=3, n_buckets=20, base_docs_per_bucket=4,
+        content_dup_frac=0.15, late_frac=0.0,
+    )
+    pdf = gen_pages(spec)
+    key = pdf["url"] + "@" + pdf["warc_ts"].astype("int64").astype(str)
+    h = key.map(lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16))
+    spam, pii = (h % 7 == 0), (h % 11 == 3)
+    pdf.loc[spam, "text"] = ("spam " * 40).strip()
+    pdf.loc[pii, "text"] = (
+        pdf.loc[pii, "text"]
+        + " write to crawler@example.org or call +1 555-010-7788 now"
+    )
+    assert spam.any() and pii.any() and not (spam & pii).all()
+    d = tmp_path / "gated_stream"
+    write_pages_stream_dir(pdf, str(d), n_files=6)
+
+    def with_uid(df):
+        return df.withColumn(
+            "row_uid",
+            F.concat_ws("@", "url", F.unix_micros(
+                F.col("warc_ts").cast("timestamp")).cast("string")),
+        )
+
+    gate = lambda dd: quality_gate(  # noqa: E731
+        dd, id_col="row_uid", text_col="text",
+        min_tokens=3, max_top_token_frac=0.8, max_dup_bigram_frac=0.95,
+    )
+    stream = with_uid(
+        read_pages_stream(spark, str(d), max_files_per_trigger=1)
+        .withWatermark("warc_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["url", "warc_ts"])
+    )
+    table = run_corpus_stream_with_compaction(
+        spark, stream, str(tmp_path / "gated_corpus"), str(tmp_path / "gated_ck"),
+        gate_fn=gate, id_col="row_uid", every=2,
+    )
+
+    all_pages = with_uid(
+        pages_from_pandas(spark, pdf).dropDuplicates(["url", "warc_ts"])
+    )
+    gated = gate(all_pages)
+    expected = (
+        dedup_survivors(gated, exact_dup_pairs(gated, id_col="row_uid"), "row_uid")
+        .select("row_uid", "text").toPandas()
+        .sort_values("row_uid").reset_index(drop=True)
+    )
+    got = (
+        table.read(spark).select("row_uid", "text").toPandas()
+        .sort_values("row_uid").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected)
+
+    # the gate actually split the corpus, and PII survived only masked
+    n_unique = int(pdf.drop_duplicates(["url", "warc_ts"]).shape[0])
+    masked = got[got["text"].str.contains("<EMAIL>", regex=False)]
+    assert 0 < len(got) < n_unique
+    assert len(masked) > 0 and masked["text"].str.contains("<PHONE>", regex=False).all()
+    assert not got["text"].str.contains("@example.org|555-010", regex=True).any()
+
+    # admission telemetry in the append manifests: every commit carries
+    # both counters and the totals reconcile with the rejected spam docs
+    appends = table.append_manifests()
+    assert all(
+        "rows_in_gate" in m["metrics"] and "rows_rejected_gate" in m["metrics"]
+        for m in appends
+    )
+    n_rejected = sum(m["metrics"]["rows_rejected_gate"] for m in appends)
+    n_spam_unique = int(
+        pdf[spam].drop_duplicates(["url", "warc_ts"]).shape[0])
+    assert n_rejected == n_spam_unique
+    assert sum(m["metrics"]["rows_in_gate"] for m in appends) == n_unique
+
+
 def test_compaction_retry_refuses_stale_snapshot(spark, tmp_path):
     """r5 (r4 advice): a compaction retry that would ADOPT files
     published by a crashed attempt must fail loudly when an append
