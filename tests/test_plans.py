@@ -56,6 +56,22 @@ def test_feature_scan_prunes_html(spark, tmp_path, pages_df):
     assert "html" not in cols, f"html must be pruned from the scan: {cols}"
 
 
+def test_textquality_prunes_and_stays_jvm_side(spark):
+    """r5 corpus-quality ops: the documents scan must read only
+    (doc_id, text) — never lang/source/n_chars — and the whole plan must
+    stay JVM-side (no Python eval nodes): these run over the full corpus
+    at 100-TB scale, where an unpruned column or an Arrow crossing is the
+    difference between a word-count-shaped job and a slow one."""
+    from swingstream.contract import q_docs_boilerplate, q_docs_textquality
+    from swingstream.plans.explain import explain_str
+
+    for q in (q_docs_textquality, q_docs_boilerplate):
+        df = q(spark, SF)
+        cols = set(read_schema_columns(df))
+        assert cols <= {"doc_id", "text"}, f"{q.__name__}: unpruned scan {cols}"
+        assert "Python" not in explain_str(df, "simple"), q.__name__
+
+
 def test_gold_join_broadcasts(spark):
     from swingstream.fixtures import gen_series, plant_network
     from swingstream.operators.evaluate import label_edges
