@@ -144,7 +144,7 @@ def boilerplate_ngrams(
     )
 
 
-def quality_gate(
+def quality_annotate(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
@@ -152,25 +152,42 @@ def quality_gate(
     min_tokens: int = 5,
     max_top_token_frac: float = 0.5,
     max_dup_bigram_frac: float = 0.5,
-    mask_pii: bool = True,
 ) -> DataFrame:
-    """Corpus admission gate: drop documents failing the Gopher-style
-    repetition thresholds (too short, dominated by one token, or mostly
-    duplicated bigrams) and mask PII in the survivors' text.  All other
-    columns pass through unchanged.
-
-    Shape: ``repetition_stats`` (uniform per-doc aggregation) reduced to
-    a keep-list, applied back with ONE left-semi join on ``id_col``, then
-    the pure-JVM masking expressions — no collect, no skewed keys, the
-    same profile per micro-batch as per batch.
-    """
+    """Annotate every document with a ``reject_reason`` column: the FIRST
+    Gopher-style repetition gate it trips, in the fixed precedence
+    (too_few_tokens, top_token_frac, dup_bigram_frac), or NULL when
+    admitted.  Shape: ``repetition_stats`` (uniform per-doc aggregation)
+    joined back on ``id_col`` — no collect, no skewed keys, identical
+    profile per micro-batch and per batch."""
     rep = repetition_stats(docs, text_col=text_col, id_col=id_col)
-    keep = rep.where(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("top_token_frac") <= max_top_token_frac)
-        & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
-    ).select(id_col)
-    out = docs.join(keep, [id_col], "left_semi")
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_few_tokens"))
+        .when(
+            F.col("top_token_frac") > max_top_token_frac,
+            F.lit("top_token_frac"),
+        )
+        .when(
+            F.col("dup_bigram_frac") > max_dup_bigram_frac,
+            F.lit("dup_bigram_frac"),
+        )
+    )
+    return docs.join(
+        rep.select(id_col, reason.alias("reject_reason")), [id_col], "inner"
+    )
+
+
+def quality_gate(
+    docs: DataFrame,
+    *,
+    mask_pii: bool = True,
+    text_col: str = "text",
+    **annotate_kw,
+) -> DataFrame:
+    """Corpus admission gate: drop documents failing the
+    ``quality_annotate`` thresholds and mask PII in the survivors' text.
+    All other columns pass through unchanged."""
+    ann = quality_annotate(docs, text_col=text_col, **annotate_kw)
+    out = ann.where(F.col("reject_reason").isNull()).drop("reject_reason")
     if mask_pii:
         out = out.withColumn(
             text_col,
@@ -181,6 +198,14 @@ def quality_gate(
             ),
         )
     return out
+
+
+def quality_rejections(docs: DataFrame, **kw) -> DataFrame:
+    """The rejected complement of ``quality_gate`` with its
+    ``reject_reason`` — what an audited curation pipeline quarantines
+    instead of silently dropping."""
+    ann = quality_annotate(docs, **kw)
+    return ann.where(F.col("reject_reason").isNotNull())
 
 
 def pii_scrub(

@@ -334,6 +334,8 @@ def run_corpus_stream_with_compaction(
     *,
     pair_fn: Callable[[DataFrame], DataFrame] | None = None,
     gate_fn: Callable[[DataFrame], DataFrame] | None = None,
+    reject_fn: Callable[[DataFrame], DataFrame] | None = None,
+    quarantine_root: str | None = None,
     id_col: str = "url",
     every: int = 4,
     final_compaction: bool = True,
@@ -371,11 +373,29 @@ def run_corpus_stream_with_compaction(
     on the gated corpus — identical ordering to the batch twin
     (gate, then dedup).
 
+    ``reject_fn`` + ``quarantine_root`` additionally commit the gate's
+    REJECTED complement (e.g. ``textquality.quality_rejections``, which
+    carries a ``reject_reason`` column) to a second IcebergLite table
+    under the SAME batch_id — an audited curation pipeline quarantines
+    rejects instead of silently dropping them, and keying both commits
+    to one batch_id keeps the pair exactly-once together under
+    foreachBatch retries.  Read it back with
+    ``IcebergLiteTable(quarantine_root)``.
+
     foreachBatch runs batches serially, so the between-trigger batch
     compactions never race an append; every maintenance commit id is
     pinned to the triggering batch_id for exactly-once under retries.
     """
     table = IcebergLiteTable(out_root)
+    if (reject_fn is None) != (quarantine_root is None):
+        raise ValueError(
+            "reject_fn and quarantine_root must be passed together"
+        )
+    if reject_fn is not None and gate_fn is None:
+        raise ValueError("reject_fn requires gate_fn")
+    quarantine = (
+        IcebergLiteTable(quarantine_root) if quarantine_root else None
+    )
     pf = pair_fn if pair_fn is not None else (
         lambda d: exact_dup_pairs(d, id_col=id_col)
     )
@@ -395,6 +415,11 @@ def run_corpus_stream_with_compaction(
                     extra_metrics={"rows_in_gate": n_in,
                                    "rows_rejected_gate": n_in - n_adm},
                 )
+                if quarantine is not None:
+                    quarantine.commit(
+                        batch_id, reject_fn(batch_df),
+                        extra_metrics={"rows_in_gate": n_in},
+                    )
             finally:
                 admitted.unpersist()
                 batch_df.unpersist()

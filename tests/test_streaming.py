@@ -1208,7 +1208,7 @@ def test_streaming_quality_gate_matches_batch_and_records_metrics(spark, tmp_pat
     import hashlib
 
     from swingstream.operators.dedup import dedup_survivors, exact_dup_pairs
-    from swingstream.operators.textquality import quality_gate
+    from swingstream.operators.textquality import quality_gate, quality_rejections
     from swingstream.sources.pages import pages_from_pandas, read_pages_stream
     from swingstream.streaming.compaction import run_corpus_stream_with_compaction
 
@@ -1236,10 +1236,10 @@ def test_streaming_quality_gate_matches_batch_and_records_metrics(spark, tmp_pat
                 F.col("warc_ts").cast("timestamp")).cast("string")),
         )
 
-    gate = lambda dd: quality_gate(  # noqa: E731
-        dd, id_col="row_uid", text_col="text",
-        min_tokens=3, max_top_token_frac=0.8, max_dup_bigram_frac=0.95,
-    )
+    kw = dict(id_col="row_uid", text_col="text",
+              min_tokens=3, max_top_token_frac=0.8, max_dup_bigram_frac=0.95)
+    gate = lambda dd: quality_gate(dd, **kw)  # noqa: E731
+    rejects = lambda dd: quality_rejections(dd, **kw)  # noqa: E731
     stream = with_uid(
         read_pages_stream(spark, str(d), max_files_per_trigger=1)
         .withWatermark("warc_ts", "10 minutes")
@@ -1247,7 +1247,9 @@ def test_streaming_quality_gate_matches_batch_and_records_metrics(spark, tmp_pat
     )
     table = run_corpus_stream_with_compaction(
         spark, stream, str(tmp_path / "gated_corpus"), str(tmp_path / "gated_ck"),
-        gate_fn=gate, id_col="row_uid", every=2,
+        gate_fn=gate, reject_fn=rejects,
+        quarantine_root=str(tmp_path / "gated_quarantine"),
+        id_col="row_uid", every=2,
     )
 
     all_pages = with_uid(
@@ -1284,6 +1286,21 @@ def test_streaming_quality_gate_matches_batch_and_records_metrics(spark, tmp_pat
         pdf[spam].drop_duplicates(["url", "warc_ts"]).shape[0])
     assert n_rejected == n_spam_unique
     assert sum(m["metrics"]["rows_in_gate"] for m in appends) == n_unique
+
+    # quarantine table: the rejected complement with reasons, committed
+    # under the same batch_ids (audit trail, not silent drops)
+    q = IcebergLiteTable(str(tmp_path / "gated_quarantine"))
+    qdf = q.read(spark).select("row_uid", "reject_reason").toPandas()
+    assert len(qdf) == n_spam_unique
+    # every spam doc tripped the top-token gate first (40/48 > 0.8)
+    assert (qdf["reject_reason"] == "top_token_frac").all()
+    # admitted + quarantined partition the transport-deduped input
+    assert len(qdf) + len(
+        gated.select("row_uid").toPandas()
+    ) == n_unique
+    assert {str(m["batch_id"]) for m in q.manifests()} <= {
+        str(m["batch_id"]) for m in appends
+    }
 
 
 def test_compaction_retry_refuses_stale_snapshot(spark, tmp_path):
