@@ -158,7 +158,15 @@ def quality_annotate(
     (too_few_tokens, top_token_frac, dup_bigram_frac), or NULL when
     admitted.  Shape: ``repetition_stats`` (uniform per-doc aggregation)
     joined back on ``id_col`` — no collect, no skewed keys, identical
-    profile per micro-batch and per batch."""
+    profile per micro-batch and per batch.
+
+    Idempotent on pre-annotated input: a frame already carrying
+    ``reject_reason`` passes through unchanged, so a gated ingest can
+    annotate each micro-batch ONCE (and persist it) and feed the same
+    frame to both ``quality_gate`` and ``quality_rejections`` without
+    paying the explode + aggregations twice (r5 advice)."""
+    if "reject_reason" in docs.columns:
+        return docs
     rep = repetition_stats(docs, text_col=text_col, id_col=id_col)
     reason = (
         F.when(F.col("n_tokens") < min_tokens, F.lit("too_few_tokens"))

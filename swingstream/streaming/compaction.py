@@ -81,14 +81,20 @@ def _commit_dir_label(batch_id) -> str:
 
 
 def _guard_and_record_intent(
-    table: IcebergLiteTable, cid, replaces: list, active_ids: list, scope: str
+    table: IcebergLiteTable, cid, replaces: list, active_ids: list,
+    scope: str, targeted: bool,
 ) -> None:
     """Crash/retry intent sidecar, shared by every REPLACE-producing
-    maintenance pass: record what the pass will REPLACE — and the full
-    active set its output was computed from — BEFORE any data publish.
-    A retry that finds crash-orphaned published data must see BOTH sets
-    unchanged, else adopting would mark commits replaced without their
-    rows existing in the adopted files (silent row loss; r4 advice)."""
+    maintenance pass: record what the pass will REPLACE — the full
+    active set its output was computed from, AND the parameters it was
+    computed under — BEFORE any data publish.  A retry that finds
+    crash-orphaned published data must see the sets unchanged, else
+    adopting would mark commits replaced without their rows existing in
+    the adopted files (silent row loss; r4 advice) — and must see the
+    SAME scope/targeted parameters, else content computed under the old
+    parameters would be silently committed under the retry's label
+    (r5 advice: a crashed targeted pass retried as full-history that
+    happens to hit the same replaces set would adopt the stale rows)."""
     intent_path = table._manifest_path(cid) + ".intent"
     orphan_dir = os.path.join(table.data_dir, _commit_dir_label(cid))
     if os.path.isdir(orphan_dir):
@@ -112,11 +118,22 @@ def _guard_and_record_intent(
                 f"replaced without their rows; remove {orphan_dir} to "
                 f"recompute from the current snapshot"
             )
+        rec_params = (recorded.get("scope"), recorded.get("targeted"))
+        if rec_params != (scope, targeted):
+            raise RuntimeError(
+                f"compaction {cid} retry: parameters changed since the "
+                f"crashed attempt published its files (recorded "
+                f"scope/targeted {rec_params}, now {(scope, targeted)}) "
+                f"— adopting would commit content computed under the "
+                f"old parameters beneath the retry's label; remove "
+                f"{orphan_dir} to recompute with the current parameters"
+            )
     else:
         tmp = intent_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(
-                {"replaces": replaces, "active": active_ids, "scope": scope},
+                {"replaces": replaces, "active": active_ids,
+                 "scope": scope, "targeted": targeted},
                 fh,
                 default=str,
             )
@@ -246,7 +263,8 @@ def compact_dedup(
     # discovery over the WHOLE snapshot, not just the replaced part, so
     # the retry guard pins the full active set alongside the replaces
     _guard_and_record_intent(
-        table, cid, replaces, [str(m["batch_id"]) for m in active], scope
+        table, cid, replaces, [str(m["batch_id"]) for m in active],
+        scope, targeted,
     )
     manifest = table.commit(
         cid,
@@ -260,8 +278,13 @@ def compact_dedup(
             "targeted": targeted,
         },
     )
-    if manifest is not None:
-        _clear_intent(table, cid)
+    # commit() returns None only for an already-committed cid — excluded
+    # by the committed() check at entry under serial foreachBatch, but
+    # clear unconditionally anyway: leaking the sidecar would make a
+    # later orphan check for this cid compare against a stale intent
+    # (r5 advice)
+    assert manifest is not None, f"compaction {cid} raced a concurrent commit"
+    _clear_intent(table, cid)
     return manifest
 
 
@@ -302,7 +325,7 @@ def compact_small_files(
     replaces = [m["batch_id"] for m in small]
     _guard_and_record_intent(
         table, cid, replaces, [str(m["batch_id"]) for m in active],
-        "bin-pack",
+        "bin-pack", False,
     )
 
     files = [
@@ -321,8 +344,9 @@ def compact_small_files(
             "scope": "bin-pack",
         },
     )
-    if manifest is not None:
-        _clear_intent(table, cid)
+    # see compact_dedup: unconditional clear so the sidecar can't leak
+    assert manifest is not None, f"bin-pack {cid} raced a concurrent commit"
+    _clear_intent(table, cid)
     return manifest
 
 
@@ -335,6 +359,7 @@ def run_corpus_stream_with_compaction(
     pair_fn: Callable[[DataFrame], DataFrame] | None = None,
     gate_fn: Callable[[DataFrame], DataFrame] | None = None,
     reject_fn: Callable[[DataFrame], DataFrame] | None = None,
+    annotate_fn: Callable[[DataFrame], DataFrame] | None = None,
     quarantine_root: str | None = None,
     id_col: str = "url",
     every: int = 4,
@@ -382,6 +407,15 @@ def run_corpus_stream_with_compaction(
     foreachBatch retries.  Read it back with
     ``IcebergLiteTable(quarantine_root)``.
 
+    ``annotate_fn`` (e.g. ``textquality.quality_annotate`` with the same
+    thresholds) makes the gated+quarantined path SINGLE-PASS: the sink
+    annotates each micro-batch once, persists the annotated frame, and
+    feeds it to both ``gate_fn`` and ``reject_fn`` — which short-circuit
+    on the pre-annotated input instead of re-running the explode +
+    aggregations (2× the gate cost at scale without it; r5 advice).
+    Requires gate_fn; the three callables must agree on thresholds (use
+    the same kwargs for all three).
+
     foreachBatch runs batches serially, so the between-trigger batch
     compactions never race an append; every maintenance commit id is
     pinned to the triggering batch_id for exactly-once under retries.
@@ -393,6 +427,8 @@ def run_corpus_stream_with_compaction(
         )
     if reject_fn is not None and gate_fn is None:
         raise ValueError("reject_fn requires gate_fn")
+    if annotate_fn is not None and gate_fn is None:
+        raise ValueError("annotate_fn requires gate_fn")
     quarantine = (
         IcebergLiteTable(quarantine_root) if quarantine_root else None
     )
@@ -404,9 +440,17 @@ def run_corpus_stream_with_compaction(
         if gate_fn is not None:
             # the batch is read several times (rows_in count, repetition
             # stats, semi-join back, committed write) — pin both frames
-            # once instead of re-reading the source files per action
+            # once instead of re-reading the source files per action.
+            # With annotate_fn the annotation (explode + two aggregations
+            # + join) runs ONCE and both gate_fn and reject_fn consume
+            # the persisted annotated frame.
             batch_df.persist()
-            admitted = gate_fn(batch_df).persist()
+            base = (
+                annotate_fn(batch_df).persist()
+                if annotate_fn is not None
+                else batch_df
+            )
+            admitted = gate_fn(base).persist()
             try:
                 n_in = batch_df.count()
                 n_adm = admitted.count()
@@ -417,11 +461,13 @@ def run_corpus_stream_with_compaction(
                 )
                 if quarantine is not None:
                     quarantine.commit(
-                        batch_id, reject_fn(batch_df),
+                        batch_id, reject_fn(base),
                         extra_metrics={"rows_in_gate": n_in},
                     )
             finally:
                 admitted.unpersist()
+                if base is not batch_df:
+                    base.unpersist()
                 batch_df.unpersist()
         else:
             table.commit(batch_id, batch_df)

@@ -1208,7 +1208,11 @@ def test_streaming_quality_gate_matches_batch_and_records_metrics(spark, tmp_pat
     import hashlib
 
     from swingstream.operators.dedup import dedup_survivors, exact_dup_pairs
-    from swingstream.operators.textquality import quality_gate, quality_rejections
+    from swingstream.operators.textquality import (
+        quality_annotate,
+        quality_gate,
+        quality_rejections,
+    )
     from swingstream.sources.pages import pages_from_pandas, read_pages_stream
     from swingstream.streaming.compaction import run_corpus_stream_with_compaction
 
@@ -1240,6 +1244,7 @@ def test_streaming_quality_gate_matches_batch_and_records_metrics(spark, tmp_pat
               min_tokens=3, max_top_token_frac=0.8, max_dup_bigram_frac=0.95)
     gate = lambda dd: quality_gate(dd, **kw)  # noqa: E731
     rejects = lambda dd: quality_rejections(dd, **kw)  # noqa: E731
+    annotate = lambda dd: quality_annotate(dd, **kw)  # noqa: E731
     stream = with_uid(
         read_pages_stream(spark, str(d), max_files_per_trigger=1)
         .withWatermark("warc_ts", "10 minutes")
@@ -1247,7 +1252,7 @@ def test_streaming_quality_gate_matches_batch_and_records_metrics(spark, tmp_pat
     )
     table = run_corpus_stream_with_compaction(
         spark, stream, str(tmp_path / "gated_corpus"), str(tmp_path / "gated_ck"),
-        gate_fn=gate, reject_fn=rejects,
+        gate_fn=gate, reject_fn=rejects, annotate_fn=annotate,
         quarantine_root=str(tmp_path / "gated_quarantine"),
         id_col="row_uid", every=2,
     )
@@ -1356,3 +1361,79 @@ def test_compaction_retry_refuses_stale_snapshot(spark, tmp_path):
     assert m2 is not None
     assert sorted(str(b) for b in m2["replaces"]) == ["0", "1"]
     assert t.total_rows() == 5  # 5 distinct texts across both appends
+
+
+def test_compaction_retry_refuses_changed_parameters(spark, tmp_path):
+    """r6 (r5 advice): the crash-retry guard must also pin the
+    PARAMETERS the crashed attempt computed under.  A crashed targeted/
+    active-scope pass retried with a different scope (or targeted flag)
+    that happens to produce the same replaces set would otherwise adopt
+    the stale rows while the fresh manifest records the retry's
+    parameters — content computed under the old label committed under
+    the new one."""
+    import os
+    import shutil
+
+    import pytest
+    from swingstream.operators.dedup import exact_dup_pairs
+    from swingstream.streaming.compaction import compact_dedup
+
+    def batch(lo, n):
+        return spark.createDataFrame(
+            [(i, "txt-%d" % (i % 5)) for i in range(lo, lo + n)],
+            "doc_id long, text string",
+        )
+
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    t.commit(0, batch(0, 30))
+    pf = lambda d: exact_dup_pairs(d)  # noqa: E731
+
+    orig = IcebergLiteTable._write_manifest
+
+    def boom(self, batch_id, *a, **k):
+        if str(batch_id) == "compact-0":
+            raise RuntimeError("injected crash before manifest write")
+        return orig(self, batch_id, *a, **k)
+
+    IcebergLiteTable._write_manifest = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_dedup(spark, t, pf, compaction_id="compact-0",
+                          scope="active", targeted=False)
+    finally:
+        IcebergLiteTable._write_manifest = orig
+    assert os.path.isdir(os.path.join(t.data_dir, "batch-compact-0"))
+
+    # same replaces set (nothing changed in the table), different scope:
+    # the retry must refuse to adopt
+    with pytest.raises(RuntimeError, match="parameters changed"):
+        compact_dedup(spark, t, pf, compaction_id="compact-0",
+                      scope="full-history", targeted=False)
+    # ...and a different targeted flag likewise
+    with pytest.raises(RuntimeError, match="parameters changed"):
+        compact_dedup(spark, t, pf, compaction_id="compact-0",
+                      scope="active", targeted=True)
+    assert not t.committed("compact-0")
+
+    # identical parameters adopt cleanly
+    m = compact_dedup(spark, t, pf, compaction_id="compact-0",
+                      scope="active", targeted=False)
+    assert m is not None and t.total_rows() == 5
+    assert not os.path.exists(t._manifest_path("compact-0") + ".intent")
+
+    # heal path: removing the orphan dir allows recomputing under new
+    # parameters for a FRESH cid after more data lands
+    t.commit(1, batch(100, 10))
+    IcebergLiteTable._write_manifest = boom2 = (lambda self, bid, *a, **k: (
+        (_ for _ in ()).throw(RuntimeError("injected crash before manifest write"))
+        if str(bid) == "compact-1" else orig(self, bid, *a, **k)))
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_dedup(spark, t, pf, compaction_id="compact-1",
+                          scope="active", targeted=True)
+    finally:
+        IcebergLiteTable._write_manifest = orig
+    shutil.rmtree(os.path.join(t.data_dir, "batch-compact-1"))
+    m2 = compact_dedup(spark, t, pf, compaction_id="compact-1",
+                       scope="full-history", targeted=True)
+    assert m2 is not None and m2["metrics"]["scope"] == "full-history"

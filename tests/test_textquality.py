@@ -192,3 +192,44 @@ def test_boilerplate_topk_uses_take_ordered(spark):
     pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d", "a b c e"]})
     plan = boilerplate_ngrams(spark.createDataFrame(pdf))._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_single_pass_gate_reuses_annotation(spark):
+    """r5 advice: a gated+quarantined micro-batch must pay the annotation
+    (explode + two aggregations + join) ONCE.  quality_annotate is
+    idempotent on pre-annotated input, so gate and rejections over one
+    persisted annotated frame both plan as a cache scan — no second
+    repetition_stats subtree (no Generate/explode node) in either plan."""
+    from swingstream.operators.textquality import (
+        quality_annotate,
+        quality_gate,
+        quality_rejections,
+    )
+    from swingstream.plans.explain import explain_str
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(4),
+         "text": ["spam spam spam spam spam", "a fine unique document here",
+                  "x", "another perfectly ordinary text"]}
+    )
+    docs = spark.createDataFrame(pdf)
+    ann = quality_annotate(docs, min_tokens=2).persist()
+    try:
+        ann.count()
+        adm = quality_gate(ann, min_tokens=2)
+        rej = quality_rejections(ann, min_tokens=2)
+        for df in (adm, rej):
+            plan = explain_str(df, "simple")
+            assert "InMemoryTableScan" in plan, plan
+            # everything ABOVE the cache boundary must be re-annotation-free
+            # (the InMemoryRelation prints its own build plan below it —
+            # that subtree is the cached one and never re-executes)
+            live = plan.split("InMemoryRelation", 1)[0]
+            assert "Generate" not in live, plan  # explode = re-annotation
+        got = sorted(adm.toPandas()["doc_id"]) + sorted(rej.toPandas()["doc_id"])
+        assert got == [1, 3, 0, 2]
+        # admitted + rejected partition the input exactly
+        assert (rej.toPandas()["reject_reason"].isin(
+            ["too_few_tokens", "top_token_frac", "dup_bigram_frac"]).all())
+    finally:
+        ann.unpersist()
