@@ -89,6 +89,44 @@ def eval_digest_set(
     )
 
 
+def decontaminate_from_digests(
+    ids: DataFrame,
+    corpus_digests: DataFrame,
+    eval_digests: DataFrame,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Everything downstream of the hashing: join corpus (id, digest)
+    to the eval digest set on the digest key (broadcast when
+    ``broadcast_eval``, the normal case — the corpus side is never
+    re-keyed or collected), count distinct shared digests per doc, and
+    left-join the counts back to the ``ids`` universe.  Split out so
+    the driver's staged-parquet oracle (contract.py q_docs_decontam)
+    hash-verifies exactly this relational remainder."""
+    evals = eval_digests.select("digest")
+    if broadcast_eval:
+        evals = F.broadcast(evals)
+    hits = (
+        corpus_digests.join(evals, "digest")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_contaminated_ngrams"))
+    )
+    return (
+        ids.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_contaminated_ngrams", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_ngrams"),
+            (
+                F.coalesce("n_contaminated_ngrams", F.lit(0)) >= min_hits
+            ).alias("contaminated"),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -104,32 +142,13 @@ def decontaminate(
     ``n_contaminated_ngrams`` (distinct ``n``-gram digests shared with
     the eval set, 0 for clean docs) and ``contaminated``
     (n_contaminated_ngrams >= ``min_hits``) — the flag a curation
-    pipeline filters or routes on.  Join shape: corpus digests ⋈ eval
-    digests on the digest key (broadcast when ``broadcast_eval``, the
-    normal case — the corpus side is never re-keyed or collected),
-    count per doc, left-join the counts back to the id universe.
+    pipeline filters or routes on.
     """
     corpus = ngram_digest_table(docs, n=n, text_col=text_col, id_col=id_col)
     evals = eval_digest_set(eval_docs, n=n, text_col=text_col)
-    if broadcast_eval:
-        evals = F.broadcast(evals)
-    hits = (
-        corpus.join(evals, "digest")
-        .groupBy("id")
-        .agg(F.count("*").cast("long").alias("n_contaminated_ngrams"))
-    )
-    return (
-        docs.select(F.col(id_col).alias("id"))
-        .join(hits, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("n_contaminated_ngrams", F.lit(0))
-            .cast("long")
-            .alias("n_contaminated_ngrams"),
-            (
-                F.coalesce("n_contaminated_ngrams", F.lit(0)) >= min_hits
-            ).alias("contaminated"),
-        )
+    return decontaminate_from_digests(
+        docs, corpus, evals, min_hits=min_hits, id_col=id_col,
+        broadcast_eval=broadcast_eval,
     )
 
 
