@@ -1914,6 +1914,37 @@ def q_swing_permutation(spark, sf):
     )
 
 
+def q_docs_line_dedup(spark, sf):
+    """r6, rows-only (past the driver window — first promotion candidate
+    if it ever grows: md5 IS DuckDB-expressible, and
+    tests/test_line_dedup.py already pins the full DuckDB replay):
+    CCNet-style sub-document dedup.  The fixture text is single-line, so
+    a deterministic boilerplate line is appended to every doc_id % 4 ==
+    0 document (125 docs ≫ the max-3 threshold) — the strip must remove
+    exactly those injected lines and nothing else, which the local
+    mirror (tests/test_contract.py) pins by equality with the original
+    text."""
+    _prep(spark)
+    from swingstream.operators.dedup import line_dedup
+
+    d = _t(spark, sf, "documents")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\nsubscribe to the newsletter today"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        line_dedup(enriched, max_docs_per_line=3)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2018,6 +2049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_swing_permutation": q_swing_permutation,
     "q_swing_ranked": q_swing_ranked,
     "q_media_features": q_media_features,
+    "q_docs_line_dedup": q_docs_line_dedup,
 }
 
 ORACLES: dict[str, str] = {

@@ -667,3 +667,97 @@ def ngram_jaccard_pairs_lsh(
         jaccard_threshold=threshold,
     )
     return pairs.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Sub-document (line-level) dedup — CCNet-style duplicated-paragraph
+# removal (r6).  Whole-document dedup keeps one copy of a template page;
+# line dedup strips the template ITSELF from otherwise-unique pages —
+# the piece that actually shrinks boilerplate-heavy web text.  This is a
+# per-CORPUS operation (a line's document frequency is a corpus
+# statistic), so in the streaming pipeline it belongs at compaction
+# time, not in the per-batch admission gate (streaming/compaction.py
+# compact_strip_lines).
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_line_digests(
+    docs: DataFrame,
+    max_docs_per_line: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """One-column (``digest``) table of md5 line digests appearing in
+    MORE than ``max_docs_per_line`` distinct documents — the corpus
+    boilerplate-line profile.  Blank-after-trim lines are exempt (they
+    are structure, not content, and would trivially top any frequency
+    table).  Shape: one explode + one digest-keyed hash aggregate —
+    word-count profile, uniform shuffle key (md5 avalanche breaks up
+    even a template-farm corpus).  md5 (not xxhash64) so a DuckDB
+    oracle can replay the digesting directly."""
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), line_sep)).alias("line"),
+    ).where(F.length(F.trim("line")) > 0)
+    return (
+        lines.groupBy(F.md5("line").alias("digest"))
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .where(F.col("n_docs") > max_docs_per_line)
+        .select("digest")
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    max_docs_per_line: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    boilerplate: DataFrame | None = None,
+) -> DataFrame:
+    """Strip corpus-frequent lines from every document: lines whose
+    digest appears in > ``max_docs_per_line`` distinct docs are removed,
+    the remainder reassembled in original order.  All columns pass
+    through unchanged except ``text_col``; a document losing every line
+    keeps an empty string (the quality gate downstream is the place
+    that drops empty docs — keeping the row preserves id lineage).
+
+    ``boilerplate`` overrides the profile frame — the targeted
+    compaction path computes it once over the FULL active snapshot and
+    rewrites only affected commits with it.
+
+    Shape: one posexplode, one digest-keyed left-anti join against the
+    (small) boilerplate profile, one per-doc bounded
+    collect_list/array_sort reassembly keyed on ``id_col`` — uniform
+    shuffle keys throughout, no collect, no Python in the plan.
+    """
+    if boilerplate is None:
+        boilerplate = boilerplate_line_digests(
+            docs, max_docs_per_line, text_col, id_col, line_sep
+        )
+    lines = docs.select(
+        F.col(id_col).alias("_ld_id"),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+    )
+    kept = lines.withColumn("digest", F.md5("line")).join(
+        boilerplate, "digest", "left_anti"
+    )
+    new_text = kept.groupBy("_ld_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias("_ld_text")
+    )
+    out_cols = [
+        F.coalesce("_ld_text", F.lit("")).alias(text_col) if c == text_col
+        else F.col(c)
+        for c in docs.columns
+    ]
+    return (
+        docs.join(new_text, docs[id_col] == new_text["_ld_id"], "left")
+        .select(*out_cols)
+    )

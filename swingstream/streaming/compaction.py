@@ -67,9 +67,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from swingstream.operators.dedup import (
+    boilerplate_line_digests,
     dedup_clusters,
     dedup_survivors,
     exact_dup_pairs,
+    line_dedup,
 )
 from swingstream.sources.catalog import IcebergLiteTable
 
@@ -288,6 +290,91 @@ def compact_dedup(
     return manifest
 
 
+def compact_strip_lines(
+    spark: SparkSession,
+    table: IcebergLiteTable,
+    max_docs_per_line: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    compaction_id: str | None = None,
+) -> dict | None:
+    """Sub-document (line-level) dedup as a maintenance pass — the
+    CCNet-style duplicated-paragraph removal (operators/dedup.line_dedup)
+    run at COMPACTION time, where per-corpus statistics belong: a
+    line's document frequency does not commute with micro-batching, so
+    stripping in the per-batch admission gate would give batch-size-
+    dependent results (the same commutation pin that keeps boilerplate
+    mining out of quality_gate).
+
+    Targeted rewrite: the boilerplate-line profile is computed once
+    over the FULL active snapshot (one explode + one digest aggregate),
+    affected documents (those containing >= 1 boilerplate line) are
+    attributed to their commit via ``_metadata.file_path``, and only
+    loser-bearing commits are rewritten — with ``line_dedup`` fed the
+    snapshot-global profile, so the rewritten text is identical to a
+    whole-corpus pass.  A profile that strips nothing commits nothing.
+    Same intent-sidecar crash/retry machinery as the other passes.
+    """
+    active = table.active_manifests()
+    if not active:
+        return None
+    cid = compaction_id or f"striplines-adhoc-{len(table.manifests())}"
+    if table.committed(cid):
+        return None
+
+    docs = table.read(spark)
+    bp = boilerplate_line_digests(
+        docs, max_docs_per_line, text_col, id_col, line_sep
+    ).localCheckpoint(eager=True)  # drives the affected-doc probe AND the
+    # rewrite; small (only > max_docs_per_line digests survive)
+
+    by_dir = {_commit_dir_label(m["batch_id"]): m for m in active}
+    tagged = docs.select(
+        "*",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -2
+        ).alias("_cdir"),
+    )
+    affected_lines = (
+        tagged.select(
+            "_cdir", F.explode(F.split(F.col(text_col), line_sep)).alias("line")
+        )
+        .withColumn("digest", F.md5("line"))
+        .join(bp, "digest", "semi")
+    )
+    hit_dirs = sorted(
+        r["_cdir"] for r in affected_lines.select("_cdir").distinct().collect()
+    )
+    if not hit_dirs:
+        return None
+    replaces = [by_dir[d]["batch_id"] for d in hit_dirs]
+    rewritten = line_dedup(
+        tagged.where(F.col("_cdir").isin(hit_dirs)).drop("_cdir"),
+        max_docs_per_line, text_col, id_col, line_sep,
+        boilerplate=bp,
+    )
+    _guard_and_record_intent(
+        table, cid, replaces, [str(m["batch_id"]) for m in active],
+        "line-dedup", True,
+    )
+    manifest = table.commit(
+        cid,
+        rewritten,
+        operation="line-dedup-compaction",
+        replaces=replaces,
+        extra_metrics={
+            "rows_in": sum(by_dir[d]["metrics"]["rows"] for d in hit_dirs),
+            "input_commits": len(hit_dirs),
+            "scope": "line-dedup",
+            "max_docs_per_line": max_docs_per_line,
+        },
+    )
+    assert manifest is not None, f"strip-lines {cid} raced a concurrent commit"
+    _clear_intent(table, cid)
+    return manifest
+
+
 def compact_small_files(
     spark: SparkSession,
     table: IcebergLiteTable,
@@ -368,6 +455,7 @@ def run_corpus_stream_with_compaction(
     targeted: bool = True,
     binpack_every: int = 0,
     binpack_min_rows: int = 100_000,
+    final_strip_lines_max_docs: int | None = None,
 ) -> IcebergLiteTable:
     """Append a streaming document DataFrame to an IcebergLite corpus
     with a dedup compaction every ``every`` commits (plus one final pass
@@ -415,6 +503,14 @@ def run_corpus_stream_with_compaction(
     aggregations (2× the gate cost at scale without it; r5 advice).
     Requires gate_fn; the three callables must agree on thresholds (use
     the same kwargs for all three).
+
+    ``final_strip_lines_max_docs`` additionally runs one
+    ``compact_strip_lines`` pass AFTER the drain-time final dedup
+    compaction: line document-frequency is a per-corpus statistic that
+    does not commute with micro-batching, so sub-document dedup runs
+    exactly once over the drained, deduplicated snapshot — the end
+    state equals the one-shot batch ``gate -> dedup_survivors ->
+    line_dedup`` chain.
 
     foreachBatch runs batches serially, so the between-trigger batch
     compactions never race an append; every maintenance commit id is
@@ -504,4 +600,12 @@ def run_corpus_stream_with_compaction(
         compact_dedup(spark, table, pf, id_col=id_col,
                       compaction_id=final_id, scope=final_scope,
                       targeted=targeted)
+        if final_strip_lines_max_docs is not None:
+            compact_strip_lines(
+                spark, table,
+                max_docs_per_line=final_strip_lines_max_docs,
+                id_col=id_col,
+                compaction_id=f"striplines-final-{max(appends)}"
+                if appends else "striplines-final",
+            )
     return table

@@ -153,3 +153,19 @@ def test_udtf_edge_explode_matches_posexplode(spark):
         ORDER BY child, parent
     """).toPandas()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_line_dedup_query_strips_only_injected_boilerplate(spark):
+    """Local mirror for the rows-only q_docs_line_dedup: the injected
+    boilerplate line is stripped from the doc_id % 4 == 0 docs and the
+    output text equals the ORIGINAL fixture text for every document."""
+    from swingstream.contract import q_docs_line_dedup
+
+    got = q_docs_line_dedup(spark, SF_DIR).toPandas().set_index("doc_id")
+    orig = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text").toPandas().set_index("doc_id")
+    )
+    assert len(got) == len(orig)
+    joined = got.join(orig, lsuffix="_got")
+    assert (joined["text_got"] == joined["text"]).all()
