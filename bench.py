@@ -122,6 +122,41 @@ def _textquality_extras(spark):
     }
 
 
+def _curation_extras(spark):
+    """Round-6 curation ops on the same realistic 5k Zipf corpus —
+    recorded under `queries_extra` (headline set frozen at round 3)."""
+    from pyspark.sql import functions as F
+
+    from swingstream.operators.decontam import decontaminate
+    from swingstream.operators.dedup import line_dedup
+    from swingstream.operators.sampling import token_budget_sample
+
+    def docs():
+        return spark.read.parquet(_realistic_docs_path()).repartition(64)
+
+    def docs_with_lines():
+        # the Zipf corpus is single-line; plant a boilerplate line on
+        # every 3rd doc so the strip path does real work
+        return docs().withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.lit("\nsubscribe to our newsletter today"))
+                .otherwise(F.lit("")),
+            ),
+        )
+
+    return {
+        "q_docs_decontam_5k": lambda: decontaminate(
+            docs(), docs().where(F.col("doc_id") % 10 == 0), n=8),
+        "q_docs_sample_5k": lambda: token_budget_sample(
+            docs(), ["lang"], "n_chars", budget_per_stratum=100_000),
+        "q_docs_line_dedup_5k": lambda: line_dedup(
+            docs_with_lines(), max_docs_per_line=4),
+    }
+
+
 # Sized so the pipeline is CPU-bound rather than micro-batch-overhead
 # bound at local[32] AND so parallel work dominates the ~15 s of per-run
 # fixed cost at the local[2] scaling level (efficiency >= 0.8 needs
@@ -159,10 +194,18 @@ def _host_calibration() -> dict:
     BENCH_rN.json — the scaling runs carried calibrations, the
     per-query/streaming sections did not).
 
+    r6 (r5 VERDICT #1): stamped TWICE — before the per-query section and
+    after the streaming section — because one stamp is a single point in
+    time: a contention burst landing mid-run (the r5 run-A failure mode,
+    streaming repeats 41.9/118.1 s around a clean-looking stamp) is
+    invisible to it, but lands BETWEEN two readings.  A run whose pre
+    and post stamps are both ~1.0 is cleanly comparable; one whose
+    stamps disagree localizes the burst to its own window.
+
     Reuses BENCH/scaling.py's burns: raw-CPU hash throughput at 1 and 4
     workers (their ratio/4 = the host's own parallel ceiling, ~1.0 quiet,
     0.90 observed under co-tenant load in r4) plus one 4-worker
-    streaming-memcpy bandwidth sample.  ~15 s total.
+    streaming-memcpy bandwidth sample.  ~15 s per stamp.
     """
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                     "BENCH"))
@@ -240,6 +283,10 @@ def main() -> None:
     queries_extra: dict[str, float] = {}
     queries_extra_median: dict[str, float] = {}
 
+    # pre-run host stamp: brackets the per-query section from the front
+    # (r5 VERDICT: a mid-run burst must land BETWEEN two readings)
+    calibration_pre = _host_calibration()
+
     def timed(name: str, build, dest=None, dest_median=None) -> None:
         walls = []
         for _ in range(repeats):
@@ -258,13 +305,15 @@ def main() -> None:
         timed(name, build)
     for name, build in _textquality_extras(spark).items():
         timed(name, build, dest=queries_extra, dest_median=queries_extra_median)
+    for name, build in _curation_extras(spark).items():
+        timed(name, build, dest=queries_extra, dest_median=queries_extra_median)
 
     params = SwingParams(
         window_width=8, step_size=1, min_lag=1, max_lag=3,
         method="lasso", alpha=0.05, watermark="5 minutes", n_salts=8,
         emit_zero_edges=False, solver_max_iter=150,
     )
-    # host-state stamp taken immediately before the streaming section —
+    # mid-run host stamp immediately before the streaming section —
     # the measurement the r4 driver run showed 3.5x slow on a host whose
     # scaling calibration read 0.906; with this stamp a contended run is
     # self-evident in BENCH_rN.json instead of a he-said-she-said
@@ -278,6 +327,8 @@ def main() -> None:
         tuned = run_streaming_bench(spark, params, fft=64, q2_mft=16)
         tuned["trigger_config"] = {"feature_files_per_trigger": 64,
                                    "q2_files_per_trigger": 16}
+    # post-run host stamp after the streaming section closes the bracket
+    calibration_post = _host_calibration()
     streaming = max(streaming_runs, key=lambda s: s["docs_per_sec"])
     streaming["wall_sec_repeats"] = sorted(s["wall_sec"] for s in streaming_runs)
     queries["streaming_swing_pipeline"] = streaming["wall_sec"]
@@ -311,7 +362,12 @@ def main() -> None:
         "query_repeats": query_repeats,
         "sf": sf,
         "cpus": int(cpus),
+        # three stamps bracket the run: _pre (before per-query), the
+        # mid stamp (before streaming; kept under the r5 key for
+        # round-comparability), _post (after streaming + tuned sidecar)
+        "host_calibration_pre": calibration_pre,
         "host_calibration": calibration,
+        "host_calibration_post": calibration_post,
         "streaming": streaming,
         "streaming_tuned_trigger": tuned,
         "scaling_gate": _scaling_gate_summary(),
@@ -334,7 +390,9 @@ def main() -> None:
         "streaming": {k: streaming[k] for k in
                       ("docs", "wall_sec", "docs_per_sec", "wall_sec_repeats")},
         "tuned_docs_per_sec": tuned["docs_per_sec"] if tuned else None,
+        "host_calibration_pre": calibration_pre,
         "host_calibration": calibration,
+        "host_calibration_post": calibration_post,
         "scaling_latest": {
             k: (gate.get("latest") or {}).get(k)
             for k in ("pair", "scaling_efficiency",

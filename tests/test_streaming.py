@@ -1437,3 +1437,152 @@ def test_compaction_retry_refuses_changed_parameters(spark, tmp_path):
     m2 = compact_dedup(spark, t, pf, compaction_id="compact-1",
                        scope="full-history", targeted=True)
     assert m2 is not None and m2["metrics"]["scope"] == "full-history"
+
+
+def test_soak_kill_resume_full_topology(spark, tmp_path):
+    """r6 integration soak (r5 VERDICT #6): the full production topology
+    in ONE run — quality gate + quarantine + periodic TARGETED dedup
+    compaction + periodic bin-packing — killed between a compaction's
+    intent write and its manifest write, resumed from the checkpoint,
+    and drained with the full-history final pass + line strip.  The
+    pieces are individually crash-tested; this pins their composition:
+    final table == one-shot batch (gate -> dedup -> line strip),
+    quarantine + ledger lineage intact, no duplicate or lost rows, no
+    leaked intent sidecars."""
+    import glob
+    import hashlib
+
+    from swingstream.operators.dedup import (
+        dedup_survivors,
+        exact_dup_pairs,
+        line_dedup,
+    )
+    from swingstream.operators.textquality import (
+        quality_annotate,
+        quality_gate,
+        quality_rejections,
+    )
+    from swingstream.sources.pages import pages_from_pandas, read_pages_stream
+    from swingstream.streaming.compaction import run_corpus_stream_with_compaction
+
+    spec = PagesSpec(
+        n_hosts=3, n_buckets=24, base_docs_per_bucket=4,
+        content_dup_frac=0.2, late_frac=0.0,
+    )
+    pdf = gen_pages(spec)
+    key = pdf["url"] + "@" + pdf["warc_ts"].astype("int64").astype(str)
+    h = key.map(lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16))
+    spam, boiler = (h % 9 == 0), (h % 3 == 0)
+    pdf.loc[spam, "text"] = ("junk " * 30).strip()
+    pdf.loc[boiler & ~spam, "text"] = (
+        "follow us on social media\n" + pdf.loc[boiler & ~spam, "text"]
+    )
+    assert spam.any() and (boiler & ~spam).sum() > 5
+    d = tmp_path / "soak_stream"
+    write_pages_stream_dir(pdf, str(d), n_files=6)
+
+    def with_uid(df):
+        return df.withColumn(
+            "row_uid",
+            F.concat_ws("@", "url", F.unix_micros(
+                F.col("warc_ts").cast("timestamp")).cast("string")),
+        )
+
+    kw = dict(id_col="row_uid", text_col="text",
+              min_tokens=3, max_top_token_frac=0.8, max_dup_bigram_frac=0.95)
+
+    def make_stream():
+        return with_uid(
+            read_pages_stream(spark, str(d), max_files_per_trigger=1)
+            .withWatermark("warc_ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["url", "warc_ts"])
+        )
+
+    run_kw = dict(
+        gate_fn=lambda dd: quality_gate(dd, **kw),
+        reject_fn=lambda dd: quality_rejections(dd, **kw),
+        annotate_fn=lambda dd: quality_annotate(dd, **kw),
+        quarantine_root=str(tmp_path / "soak_quarantine"),
+        id_col="row_uid", every=2, binpack_every=3, binpack_min_rows=10**6,
+        final_strip_lines_max_docs=4,
+    )
+
+    # run 1: crash injected between compact-1's intent write and its
+    # manifest write (the data dir publishes, the manifest does not)
+    orig = IcebergLiteTable._write_manifest
+
+    def boom(self, batch_id, *a, **k):
+        if str(batch_id) == "compact-1":
+            raise RuntimeError("injected crash before manifest write")
+        return orig(self, batch_id, *a, **k)
+
+    IcebergLiteTable._write_manifest = boom
+    try:
+        with pytest.raises(Exception, match="injected crash"):
+            run_corpus_stream_with_compaction(
+                spark, make_stream(), str(tmp_path / "soak_corpus"),
+                str(tmp_path / "soak_ck"), **run_kw)
+    finally:
+        IcebergLiteTable._write_manifest = orig
+    probe = IcebergLiteTable(str(tmp_path / "soak_corpus"))
+    assert os.path.isdir(os.path.join(probe.data_dir, "batch-compact-1"))
+    assert os.path.exists(probe._manifest_path("compact-1") + ".intent")
+    assert not probe.committed("compact-1")
+
+    # run 2: resume from the same checkpoint — the foreachBatch retry of
+    # batch 1 replays the append as a ledger no-op, the compaction retry
+    # adopts the orphaned dir (same params, same active set), and the
+    # stream drains through the remaining batches + final passes
+    table = run_corpus_stream_with_compaction(
+        spark, make_stream(), str(tmp_path / "soak_corpus"),
+        str(tmp_path / "soak_ck"), **run_kw)
+
+    # one-shot batch twin: gate -> exact dedup -> line strip
+    all_pages = with_uid(
+        pages_from_pandas(spark, pdf).dropDuplicates(["url", "warc_ts"])
+    )
+    gated = quality_gate(all_pages, **kw)
+    deduped = dedup_survivors(
+        gated, exact_dup_pairs(gated, id_col="row_uid"), "row_uid")
+    expected = (
+        line_dedup(deduped, max_docs_per_line=4, id_col="row_uid")
+        .select("row_uid", "text").toPandas()
+        .sort_values("row_uid").reset_index(drop=True)
+    )
+    got = (
+        table.read(spark).select("row_uid", "text").toPandas()
+        .sort_values("row_uid").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected)
+    assert got["row_uid"].is_unique  # no dup rows across the crash seam
+    assert not got["text"].str.contains("follow us on social", regex=False).any()
+
+    # ledger lineage: every maintenance op fired; adopted compact-1 is
+    # in the ledger; telemetry on every append; no intents left behind
+    ops = {m.get("operation") for m in table.manifests()}
+    assert {None, "dedup-compaction", "bin-pack",
+            "line-dedup-compaction"} <= ops  # None == plain append
+    assert table.committed("compact-1")
+    appends = table.append_manifests()
+    assert all("rows_in_gate" in m["metrics"] for m in appends)
+    n_unique = int(pdf.drop_duplicates(["url", "warc_ts"]).shape[0])
+    assert sum(m["metrics"]["rows_in_gate"] for m in appends) == n_unique
+    assert not glob.glob(os.path.join(str(tmp_path / "soak_corpus"),
+                                      "**", "*.intent"), recursive=True)
+
+    # quarantine: the gate's rejected complement, exactly once — compared
+    # against the batch twin's rejects (the spam injection PLUS any
+    # naturally short fixture docs that trip too_few_tokens)
+    q = IcebergLiteTable(str(tmp_path / "soak_quarantine"))
+    qdf = q.read(spark).select("row_uid", "reject_reason").toPandas()
+    expected_rejects = (
+        quality_rejections(all_pages, **kw)
+        .select("row_uid", "reject_reason").toPandas()
+        .sort_values("row_uid").reset_index(drop=True)
+    )
+    n_spam_unique = int(pdf[spam].drop_duplicates(["url", "warc_ts"]).shape[0])
+    assert len(expected_rejects) >= n_spam_unique  # the injection fired
+    pd.testing.assert_frame_equal(
+        qdf.sort_values("row_uid").reset_index(drop=True), expected_rejects
+    )
+    assert qdf["row_uid"].is_unique
