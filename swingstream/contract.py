@@ -461,6 +461,41 @@ ORDER BY event_id
 """
 
 
+def q_window_frames(spark, sf):
+    """r6 merge of the former q_moving_avg + q_range_window (one window
+    slot, same hash coverage of BOTH frame types): the ROWS-frame moving
+    average and the RANGE-frame 10-minute sum side by side over events.
+    The standalone functions stay defined (unregistered) so the frozen
+    bench headline set keeps its round-comparable per-query walls."""
+    _prep(spark)
+    e = _t(spark, sf, "events").withColumn(
+        "epoch_s", F.unix_timestamp("ts").cast("long")
+    )
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    w_range = Window.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-600, 0)
+    return (
+        e.withColumn("mov_avg", F.round(F.avg("value").over(w_rows), 6))
+        .withColumn("sum_10min", F.round(F.sum("value").over(w_range), 6))
+        .select("event_id", "user_id", "mov_avg", "sum_10min")
+        .orderBy("event_id")
+    )
+
+
+SQL_WINDOW_FRAMES = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 6) AS sum_10min
+FROM (SELECT *, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
+ORDER BY event_id
+"""
+
+
 def q_lag_lead(spark, sf):
     _prep(spark)
     e = _t(spark, sf, "events")
@@ -1077,6 +1112,45 @@ SELECT s.doc_id, s.lang, CAST(s.n_chars AS BIGINT) AS n_chars, th.threshold_k
 FROM s JOIN th USING (lang)
 WHERE s.residue < th.threshold_k
 ORDER BY s.doc_id
+"""
+
+
+def q_docs_pack(spark, sf):
+    """r6: deterministic sequence-packing layout (operators/packing.py)
+    — per-doc shard, token offset, and 256-token block span under
+    GPT-style concat-then-chunk packing, via the staged-key pattern:
+    the xxhash64 shard/order keys + token counts are staged, and the
+    hash-verified remainder is exactly ``pack_blocks_from_keys`` (the
+    per-shard exclusive prefix-sum + integer block arithmetic DuckDB
+    replays bit-for-bit)."""
+    _prep(spark)
+    from swingstream.operators.packing import (
+        pack_blocks_from_keys,
+        with_pack_keys,
+    )
+
+    d = _t(spark, sf, "documents")
+    path = _stage(with_pack_keys(d, n_shards=8), "pack_keys")
+    return (
+        pack_blocks_from_keys(spark.read.parquet(path), block_tokens=256)
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOCS_PACK = f"""
+WITH k AS (
+  SELECT * FROM read_parquet('{_STAGE_ROOT}/pack_keys/*.parquet')),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY order_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS start_tok
+  FROM k)
+SELECT doc_id, shard, n_tokens, start_tok,
+       start_tok // 256 AS first_block,
+       CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // 256
+            ELSE start_tok // 256 END AS last_block
+FROM c ORDER BY doc_id
 """
 
 
@@ -1968,16 +2042,18 @@ def q_docs_line_dedup(spark, sf):
 #
 # WINDOW BUDGET (r6): the window holds exactly 50 oracle-backed queries.
 # Slots were reclaimed in r6 by merging q_semi_join+q_anti_join ->
-# q_semi_anti_join and q_intersect+q_except_all -> q_set_ops (each merge
-# keeps both physical operators in one hash-checked plan); the freed
-# slots went to q_docs_decontam and q_docs_sample.  Next candidates for
-# a merge if another slot is ever needed: q_moving_avg + q_range_window
-# (both pure window-frame queries over events, one result frame could
-# carry both columns).  Rows-only queries past the window, in promotion
-# order if the window ever grows: q_swing_edges, q_swing_sessions,
-# q_docs_line_dedup (md5 IS DuckDB-expressible — first to promote),
-# then the numpy-model queries (q_swing_rf/_plsr/_permutation/_ranked)
-# and q_media_features (blake2b fake codec), which can never promote.
+# q_semi_anti_join, q_intersect+q_except_all -> q_set_ops, and
+# q_moving_avg+q_range_window -> q_window_frames (each merge keeps both
+# physical operators/frame types in one hash-checked plan; the window-fn
+# standalones stay DEFINED for the frozen bench headline set); the freed
+# slots went to q_docs_decontam, q_docs_sample, and q_docs_pack.  Next
+# merge candidate if another slot is ever needed: q_tumbling_events +
+# q_sliding_events (both event-time window aggs over events).  Rows-only
+# queries past the window, in promotion order if the window ever grows:
+# q_swing_edges, q_swing_sessions, q_docs_line_dedup (md5 IS
+# DuckDB-expressible — first to promote), then the numpy-model queries
+# (q_swing_rf/_plsr/_permutation/_ranked) and q_media_features (blake2b
+# fake codec), which can never promote.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
@@ -1995,8 +2071,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_parts_above_brand_avg": q_parts_above_brand_avg,
     "q_orders_by_month": q_orders_by_month,
     "q_distinct_users": q_distinct_users,
-    "q_moving_avg": q_moving_avg,
-    "q_range_window": q_range_window,
+    # r6: q_moving_avg+q_range_window merged (ROWS + RANGE frames in one
+    # hash-checked plan; the standalone fns stay for the frozen bench
+    # headline) — slot freed for the oracle-backed q_docs_pack below
+    "q_window_frames": q_window_frames,
     "q_lag_lead": q_lag_lead,
     "q_latest_event_per_user": q_latest_event_per_user,
     "q_asof_last_purchase": q_asof_last_purchase,
@@ -2028,12 +2106,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_swing_auroc": q_swing_auroc,
     "q_pages_features": q_pages_features,
     "q_session_series": q_session_series,
-    # --- slots 47-50: textquality + decontam + sampling (oracle-backed)
-    # fill the window exactly ---
+    # --- slots 46-50: textquality + decontam + sampling + packing
+    # (oracle-backed) fill the window exactly ---
     "q_docs_textquality": q_docs_textquality,
     "q_docs_boilerplate": q_docs_boilerplate,
     "q_docs_decontam": q_docs_decontam,
     "q_docs_sample": q_docs_sample,
+    "q_docs_pack": q_docs_pack,
     # --- past the driver's 50-entry window: rows-only queries ---
     # q_swing_edges / q_swing_sessions moved out in round 5 when the two
     # oracle-backed textquality queries landed: a hash-verified external
@@ -2066,8 +2145,7 @@ ORACLES: dict[str, str] = {
     "q_parts_above_brand_avg": SQL_ABOVE_AVG,
     "q_orders_by_month": SQL_BY_MONTH,
     "q_distinct_users": SQL_DISTINCT,
-    "q_moving_avg": SQL_MOVING_AVG,
-    "q_range_window": SQL_RANGE_WINDOW,
+    "q_window_frames": SQL_WINDOW_FRAMES,
     "q_lag_lead": SQL_LAG_LEAD,
     "q_latest_event_per_user": SQL_LATEST_EVENT,
     "q_asof_last_purchase": SQL_ASOF,
@@ -2103,4 +2181,5 @@ ORACLES: dict[str, str] = {
     "q_docs_boilerplate": SQL_DOCS_BOILERPLATE,
     "q_docs_decontam": SQL_DOCS_DECONTAM,
     "q_docs_sample": SQL_DOCS_SAMPLE,
+    "q_docs_pack": SQL_DOCS_PACK,
 }
