@@ -128,3 +128,53 @@ def doc_fingerprint(text: Column, n: int = 3) -> Column:
     1-permutation MinHash over md5; equal fingerprints are near-dup
     candidates, stable under small edits away from the minimum."""
     return F.array_min(shingle_digests(text, n))
+
+
+# Tracking params stripped by canonical_url — the standard analytics /
+# click-id query keys that make otherwise-identical crawl URLs unique
+# (each pattern anchored over the full "key=value" string; RE2 subset).
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src|igshid)="
+)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a crawl URL for url-keyed dedup: lowercased
+    scheme + host, fragment dropped, tracking query params
+    (TRACKING_PARAM_RE) removed, remaining params sorted, trailing '?'
+    dropped — so the same page reached via different campaign links
+    collapses to ONE dedup key.  Pure built-in composition
+    (split/filter/array_sort/concat) — JVM-side, no shuffle, usable as
+    the dedup key expression or in the admission gate.
+
+    Parse is regex-based (scheme://host, then path, ?query, #fragment)
+    to stay in whole-stage codegen; a url without a recognized
+    http(s)://host prefix passes through with only fragment/tracking
+    cleanup (path bytes are never case-folded — paths are
+    case-sensitive, hosts are not).
+    """
+    no_frag = F.split(F.trim(url), "#").getItem(0)
+    base = F.split(no_frag, r"\?").getItem(0)
+    # everything after the FIRST '?' (minus the fragment already cut)
+    query = F.when(
+        F.length(no_frag) > F.length(base),
+        F.substring(no_frag, F.length(base) + 2, F.length(no_frag)),
+    ).otherwise(F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (F.length(p) > 0) & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    canon_query = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.concat_ws("&", kept))
+    ).otherwise(F.lit(""))
+    scheme_host = F.regexp_extract(base, r"^((?i:https?)://[^/]+)", 1)
+    canon_base = F.when(
+        F.length(scheme_host) > 0,
+        F.concat(
+            F.lower(scheme_host),
+            F.substring(base, F.length(scheme_host) + 1, F.length(base)),
+        ),
+    ).otherwise(base)
+    return F.concat(canon_base, canon_query)

@@ -77,3 +77,35 @@ def test_fixture_has_skew_dups_and_late():
 
     lateness = np.array([(ts[: i + 1].max() - ts[i]) for i in range(len(ts))])
     assert (lateness > np.timedelta64(5, "m")).any()
+
+
+def test_canonical_url_hand_values(spark):
+    """url canonicalization for url-keyed dedup: host case-folded (path
+    NOT), fragment dropped, tracking params stripped, survivors sorted,
+    bare '?' dropped, non-http urls passed through with cleanup only."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from swingstream.functions.textfns import canonical_url
+    from swingstream.plans.explain import explain_str
+
+    cases = [
+        ("HTTPS://Example.COM/Path/Page?utm_source=x&b=2&a=1#frag",
+         "https://example.com/Path/Page?a=1&b=2"),
+        ("http://a.com/p?gclid=123", "http://a.com/p"),
+        ("http://a.com/p?fbclid=1&keep=yes", "http://a.com/p?keep=yes"),
+        ("http://A.com/CaseSensitivePath", "http://a.com/CaseSensitivePath"),
+        ("http://a.com/p#only-frag", "http://a.com/p"),
+        ("http://a.com/p?", "http://a.com/p"),
+        ("ftp://weird/Thing?utm_x=1#f", "ftp://weird/Thing"),
+        ("http://a.com/p?z=1&a=2&utm_campaign=spring",
+         "http://a.com/p?a=2&z=1"),
+        # param whose VALUE mentions a tracking key is kept (anchor is key=)
+        ("http://a.com/p?q=utm_source", "http://a.com/p?q=utm_source"),
+    ]
+    pdf = pd.DataFrame({"url": [c[0] for c in cases]})
+    df = spark.createDataFrame(pdf).select(
+        "url", canonical_url(F.col("url")).alias("canon"))
+    got = df.toPandas()["canon"].tolist()
+    assert got == [c[1] for c in cases], got
+    assert "Python" not in explain_str(df, "simple")
