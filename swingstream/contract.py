@@ -657,6 +657,30 @@ ORDER BY win_start, event_type
 """
 
 
+def q_event_time_windows(spark, sf):
+    """r6 merge of the former q_tumbling_events + q_sliding_events (one
+    window slot, same hash coverage of both event-time window shapes):
+    the 1h tumbling and 2h/1h sliding aggregations tagged and unioned —
+    both window() operators stay in the hash-checked plan, applied
+    before tagging.  The standalone fns stay defined for the frozen
+    bench headline.  Slot freed for the PROMOTED q_docs_line_dedup
+    (per the registry budget note's promotion order)."""
+    _prep(spark)
+    tum = q_tumbling_events(spark, sf).select(
+        "*", F.lit("tumbling").alias("win_kind"))
+    sli = q_sliding_events(spark, sf).select(
+        "*", F.lit("sliding").alias("win_kind"))
+    return tum.unionByName(sli).orderBy("win_kind", "win_start", "event_type")
+
+
+SQL_EVENT_TIME_WINDOWS = f"""
+SELECT *, 'tumbling' AS win_kind FROM ({SQL_TUMBLING.replace("ORDER BY win_start, event_type", "")})
+UNION ALL
+SELECT *, 'sliding' AS win_kind FROM ({SQL_SLIDING.replace("ORDER BY win_start, event_type", "")})
+ORDER BY win_kind, win_start, event_type
+"""
+
+
 def q_session_window_events(spark, sf):
     _prep(spark)
     e = _t(spark, sf, "events")
@@ -1989,15 +2013,16 @@ def q_swing_permutation(spark, sf):
 
 
 def q_docs_line_dedup(spark, sf):
-    """r6, rows-only (past the driver window — first promotion candidate
-    if it ever grows: md5 IS DuckDB-expressible, and
-    tests/test_line_dedup.py already pins the full DuckDB replay):
-    CCNet-style sub-document dedup.  The fixture text is single-line, so
-    a deterministic boilerplate line is appended to every doc_id % 4 ==
-    0 document (125 docs ≫ the max-3 threshold) — the strip must remove
-    exactly those injected lines and nothing else, which the local
-    mirror (tests/test_contract.py) pins by equality with the original
-    text."""
+    """r6: CCNet-style sub-document (line-level) dedup — ORACLE-BACKED
+    (promoted into the window by the q_tumbling+q_sliding merge, per the
+    registry budget note's promotion order: md5 is DuckDB-expressible,
+    so the whole chain — digest, document-frequency profile, strip,
+    ordered reassembly — replays in the oracle with no staging).  The
+    fixture text is single-line, so a deterministic boilerplate line is
+    appended to every doc_id % 4 == 0 document (125 docs ≫ the max-3
+    threshold) — the strip must remove exactly those injected lines and
+    nothing else, which the local mirror (tests/test_contract.py)
+    additionally pins by equality with the original text."""
     _prep(spark)
     from swingstream.operators.dedup import line_dedup
 
@@ -2017,6 +2042,32 @@ def q_docs_line_dedup(spark, sf):
         .select("doc_id", "text")
         .orderBy("doc_id")
     )
+
+
+SQL_DOCS_LINE_DEDUP = """
+WITH enriched AS (
+  SELECT doc_id, text ||
+    (CASE WHEN doc_id % 4 = 0
+          THEN chr(10) || 'subscribe to the newsletter today'
+          ELSE '' END) AS text
+  FROM documents),
+sp AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM enriched),
+lines AS (
+  SELECT doc_id, i AS pos, ls[i] AS line
+  FROM sp, UNNEST(range(1, len(ls) + 1)) AS u(i)),
+bp AS (
+  SELECT md5(line) AS digest
+  FROM lines WHERE LENGTH(TRIM(line)) > 0
+  GROUP BY md5(line) HAVING COUNT(DISTINCT doc_id) > 3),
+kept AS (
+  SELECT * FROM lines WHERE md5(line) NOT IN (SELECT digest FROM bp))
+SELECT e.doc_id, COALESCE(k.t, '') AS text
+FROM enriched e LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+  FROM kept GROUP BY doc_id) k USING (doc_id)
+ORDER BY e.doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2042,18 +2093,20 @@ def q_docs_line_dedup(spark, sf):
 #
 # WINDOW BUDGET (r6): the window holds exactly 50 oracle-backed queries.
 # Slots were reclaimed in r6 by merging q_semi_join+q_anti_join ->
-# q_semi_anti_join, q_intersect+q_except_all -> q_set_ops, and
-# q_moving_avg+q_range_window -> q_window_frames (each merge keeps both
-# physical operators/frame types in one hash-checked plan; the window-fn
-# standalones stay DEFINED for the frozen bench headline set); the freed
-# slots went to q_docs_decontam, q_docs_sample, and q_docs_pack.  Next
-# merge candidate if another slot is ever needed: q_tumbling_events +
-# q_sliding_events (both event-time window aggs over events).  Rows-only
-# queries past the window, in promotion order if the window ever grows:
-# q_swing_edges, q_swing_sessions, q_docs_line_dedup (md5 IS
-# DuckDB-expressible — first to promote), then the numpy-model queries
-# (q_swing_rf/_plsr/_permutation/_ranked) and q_media_features (blake2b
-# fake codec), which can never promote.
+# q_semi_anti_join, q_intersect+q_except_all -> q_set_ops,
+# q_moving_avg+q_range_window -> q_window_frames, and
+# q_tumbling_events+q_sliding_events -> q_event_time_windows (each merge
+# keeps both physical operators/frame/window shapes in one hash-checked
+# plan; every merged-out standalone fn stays DEFINED because bench.py's
+# frozen headline set resolves registry-or-module).  The freed slots
+# went to q_docs_decontam, q_docs_sample, q_docs_pack, and the PROMOTED
+# q_docs_line_dedup (md5 is DuckDB-expressible, so its oracle needs no
+# staging).  Next merge candidate if another slot is ever needed:
+# q_latest_event_per_user + q_asof_last_purchase (both as-of shapes).
+# Rows-only queries past the window, in promotion order if the window
+# ever grows: q_swing_edges, q_swing_sessions, then the numpy-model
+# queries (q_swing_rf/_plsr/_permutation/_ranked) and q_media_features
+# (blake2b fake codec), which can never promote.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
@@ -2079,8 +2132,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_latest_event_per_user": q_latest_event_per_user,
     "q_asof_last_purchase": q_asof_last_purchase,
     "q_sessions": q_sessions,
-    "q_tumbling_events": q_tumbling_events,
-    "q_sliding_events": q_sliding_events,
+    # r6: q_tumbling_events+q_sliding_events merged (both event-time
+    # window shapes in one hash-checked plan; standalone fns kept for
+    # the frozen bench headline) — slot spent promoting q_docs_line_dedup
+    "q_event_time_windows": q_event_time_windows,
     "q_session_window_events": q_session_window_events,
     "q_json_props": q_json_props,
     "q_docs_stats": q_docs_stats,
@@ -2106,13 +2161,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_swing_auroc": q_swing_auroc,
     "q_pages_features": q_pages_features,
     "q_session_series": q_session_series,
-    # --- slots 46-50: textquality + decontam + sampling + packing
-    # (oracle-backed) fill the window exactly ---
+    # --- slots 45-50: textquality + decontam + sampling + packing +
+    # line-dedup (oracle-backed) fill the window exactly ---
     "q_docs_textquality": q_docs_textquality,
     "q_docs_boilerplate": q_docs_boilerplate,
     "q_docs_decontam": q_docs_decontam,
     "q_docs_sample": q_docs_sample,
     "q_docs_pack": q_docs_pack,
+    "q_docs_line_dedup": q_docs_line_dedup,
     # --- past the driver's 50-entry window: rows-only queries ---
     # q_swing_edges / q_swing_sessions moved out in round 5 when the two
     # oracle-backed textquality queries landed: a hash-verified external
@@ -2128,7 +2184,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_swing_permutation": q_swing_permutation,
     "q_swing_ranked": q_swing_ranked,
     "q_media_features": q_media_features,
-    "q_docs_line_dedup": q_docs_line_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2150,8 +2205,7 @@ ORACLES: dict[str, str] = {
     "q_latest_event_per_user": SQL_LATEST_EVENT,
     "q_asof_last_purchase": SQL_ASOF,
     "q_sessions": SQL_SESSIONS,
-    "q_tumbling_events": SQL_TUMBLING,
-    "q_sliding_events": SQL_SLIDING,
+    "q_event_time_windows": SQL_EVENT_TIME_WINDOWS,
     "q_session_window_events": SQL_SESSION_WINDOW,
     "q_json_props": SQL_JSON,
     "q_docs_stats": SQL_DOCS_STATS,
@@ -2182,4 +2236,5 @@ ORACLES: dict[str, str] = {
     "q_docs_decontam": SQL_DOCS_DECONTAM,
     "q_docs_sample": SQL_DOCS_SAMPLE,
     "q_docs_pack": SQL_DOCS_PACK,
+    "q_docs_line_dedup": SQL_DOCS_LINE_DEDUP,
 }
