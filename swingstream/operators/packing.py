@@ -35,6 +35,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _tokens(text):
+    """Whitespace tokens, blank-safe — the ONE tokenization both the
+    layout (token counts) and the materializer (slices) must share, or
+    offsets and text would disagree."""
+    return F.filter(
+        F.split(F.trim(text), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+
 def with_pack_keys(
     docs: DataFrame,
     n_shards: int = 64,
@@ -50,12 +59,7 @@ def with_pack_keys(
     if token_col is not None:
         n_tokens = F.col(token_col).cast("long")
     else:
-        n_tokens = F.size(
-            F.filter(
-                F.split(F.trim(F.col(text_col)), r"\s+"),
-                lambda t: F.length(t) > 0,
-            )
-        ).cast("long")
+        n_tokens = F.size(_tokens(F.col(text_col))).cast("long")
     sid = F.col(id_col).cast("string")
     return docs.select(
         id_col,
@@ -121,3 +125,88 @@ def pack_blocks(
         text_col=text_col, id_col=id_col, salt=salt,
     )
     return pack_blocks_from_keys(keys, block_tokens, id_col=id_col)
+
+
+def materialize_blocks(
+    docs: DataFrame,
+    block_tokens: int = 2048,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """Materialize the packed blocks themselves: (shard, block_id,
+    n_tokens, text) where every block carries exactly ``block_tokens``
+    whitespace tokens of the shard's concatenation except the last
+    block of each shard.  The layout (``pack_blocks``) tells each
+    document which blocks it spans; documents straddling a boundary
+    contribute a token-array SLICE to each side, so no block ever
+    exceeds its budget.
+
+    Shape: layout join (id-keyed equi-join), one explode bounded by
+    blocks-per-doc (≤ n_tokens/block_tokens + 1 — a doc's own length,
+    never the corpus), one shuffle keyed on the uniform (shard,
+    block_id), and a per-block bounded ordered reassembly — the same
+    collect_list/array_sort profile as line_dedup's per-doc rebuild.
+    Each doc's text is read once; no collect, no Python.
+    """
+    b = int(block_tokens)
+    layout = pack_blocks(
+        docs, block_tokens=b, n_shards=n_shards,
+        text_col=text_col, id_col=id_col, salt=salt,
+    )
+    toked = docs.select(id_col, _tokens(F.col(text_col)).alias("_toks"))
+    frags = (
+        toked.join(layout, id_col)
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "shard",
+            "start_tok",
+            "_toks",
+            "n_tokens",
+            F.explode(
+                F.sequence("first_block", "last_block")
+            ).alias("block_id"),
+        )
+        .select(
+            "shard",
+            "block_id",
+            "start_tok",
+            # the doc-local token span falling inside this block:
+            # [max(0, block_id*b - start), min(n, (block_id+1)*b - start))
+            F.slice(
+                "_toks",
+                F.greatest(
+                    F.lit(1),
+                    (F.col("block_id") * b - F.col("start_tok") + 1)
+                    .cast("int"),
+                ),
+                (
+                    F.least(
+                        F.col("n_tokens"),
+                        (F.col("block_id") + 1) * b - F.col("start_tok"),
+                    )
+                    - F.greatest(
+                        F.lit(0), F.col("block_id") * b - F.col("start_tok")
+                    )
+                ).cast("int"),
+            ).alias("_frag"),
+        )
+    )
+    return (
+        frags.groupBy("shard", "block_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("start_tok", "_frag"))),
+                    lambda s: s["_frag"],
+                )
+            ).alias("_block_toks")
+        )
+        .select(
+            "shard",
+            "block_id",
+            F.size("_block_toks").cast("long").alias("n_tokens"),
+            F.array_join("_block_toks", " ").alias("text"),
+        )
+    )

@@ -221,3 +221,56 @@ def test_streamed_strip_lines_matches_one_shot_batch(spark, tmp_path):
                for m in table.manifests())
     assert not got["text"].str.contains(BOILER, regex=False).any()
     assert (expected["text"].str.len() < 1).sum() == 0  # originals nonempty
+
+
+def test_compact_strip_lines_crash_retry(spark, tmp_path):
+    """compact_strip_lines shares the intent-sidecar machinery; pin it
+    END-TO-END for this pass too: crash between data publish and
+    manifest write -> identical-parameter retry adopts the published
+    dir; an append landing in between makes the retry refuse loudly."""
+    import os
+    import shutil
+
+    import pytest
+
+    from swingstream.sources.catalog import IcebergLiteTable
+    from swingstream.streaming.compaction import compact_strip_lines
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    for b in range(5):
+        t.commit(b, df([(b * 10, f"keep {b}\n{BOILER}")]))
+
+    orig = IcebergLiteTable._write_manifest
+
+    def boom(self, batch_id, *a, **k):
+        if str(batch_id) == "strip-0":
+            raise RuntimeError("injected crash before manifest write")
+        return orig(self, batch_id, *a, **k)
+
+    IcebergLiteTable._write_manifest = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_strip_lines(spark, t, max_docs_per_line=4,
+                                compaction_id="strip-0")
+    finally:
+        IcebergLiteTable._write_manifest = orig
+    assert os.path.isdir(os.path.join(t.data_dir, "batch-strip-0"))
+    assert not t.committed("strip-0")
+
+    # an append lands before the retry -> stale-snapshot refusal
+    t.commit(9, df([(90, "late arrival")]))
+    with pytest.raises(RuntimeError, match="active snapshot changed"):
+        compact_strip_lines(spark, t, max_docs_per_line=4,
+                            compaction_id="strip-0")
+    # heal: drop the orphan, recompute over the current snapshot
+    shutil.rmtree(os.path.join(t.data_dir, "batch-strip-0"))
+    m = compact_strip_lines(spark, t, max_docs_per_line=4,
+                            compaction_id="strip-0")
+    assert m is not None and m["operation"] == "line-dedup-compaction"
+    got = t.read(spark).orderBy("doc_id").toPandas()
+    assert list(got["text"]) == [f"keep {b}" for b in range(5)] + [
+        "late arrival"]
+    assert not os.path.exists(t._manifest_path("strip-0") + ".intent")

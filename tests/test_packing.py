@@ -113,3 +113,55 @@ def test_pack_salt_decorrelates_layout(corpus):
     m = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
     assert (m["shard_a"] != m["shard_b"]).any()
     assert (m["start_tok_a"] != m["start_tok_b"]).any()
+
+
+def test_materialize_blocks_exact_budget_and_reconstruction(spark, corpus):
+    """Every materialized block carries exactly block_tokens tokens
+    except each shard's last; concatenating a shard's blocks in
+    block_id order reproduces the shard's document concatenation in
+    layout order byte-for-byte (straddling docs split losslessly)."""
+    from swingstream.operators.packing import materialize_blocks
+
+    B = 64
+    blocks = materialize_blocks(corpus, block_tokens=B, n_shards=4).toPandas()
+    keys = with_pack_keys(corpus, n_shards=4).toPandas()
+    docs = corpus.toPandas().set_index("doc_id")
+
+    assert blocks["n_tokens"].sum() == keys["n_tokens"].sum()
+    for shard, grp in blocks.groupby("shard"):
+        g = grp.sort_values("block_id").reset_index(drop=True)
+        # contiguous block ids from 0
+        assert list(g["block_id"]) == list(range(len(g)))
+        # exact budget except the last block
+        assert (g["n_tokens"].iloc[:-1] == B).all()
+        assert 0 < g["n_tokens"].iloc[-1] <= B
+        # reconstruction parity vs the layout order
+        k = keys[keys["shard"] == shard].sort_values(
+            ["order_key", "doc_id"])
+        expect = " ".join(
+            " ".join(docs.loc[i, "text"].split())
+            for i in k["doc_id"] if docs.loc[i, "text"].split()
+        )
+        assert " ".join(g["text"]) == expect
+
+
+def test_materialize_blocks_straddle_and_empty_docs(spark):
+    from swingstream.operators.packing import materialize_blocks
+    from swingstream.plans.explain import explain_str
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            # lengths 1..40 with one empty doc — many boundary straddles at B=16
+            "text": [("t%d " % i) * i for i in range(40)],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    df = materialize_blocks(docs, block_tokens=16, n_shards=2)
+    blocks = df.toPandas()
+    total = sum(range(40))  # doc i has i tokens; doc 0 empty
+    assert blocks["n_tokens"].sum() == total
+    for _, grp in blocks.groupby("shard"):
+        g = grp.sort_values("block_id")
+        assert (g["n_tokens"].iloc[:-1] == 16).all()
+    assert "Python" not in explain_str(df, "simple")
