@@ -578,6 +578,65 @@ FROM events ORDER BY event_id
 """
 
 
+def q_asof_latest(spark, sf):
+    """r6 merge of the former q_asof_last_purchase + q_latest_event_per_user
+    (one window slot, both as-of shapes in one hash-checked plan): every
+    event's as-of last-purchase value JOINED with its user's
+    latest-version event (broadcast — ≤ |users| rows).  Both window
+    operators (ignore-nulls last over an open frame; row_number
+    latest-version) stay in the plan; the standalone fns remain defined.
+    Slot spent on the oracle-backed q_docs_pack_blocks."""
+    _prep(spark)
+    e = _t(spark, sf, "events")
+    w_asof = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = F.when(F.col("event_type") == "purchase", F.col("value"))
+    asof = e.withColumn(
+        "last_purchase", F.last(marked, ignorenulls=True).over(w_asof)
+    ).select("event_id", "user_id", "last_purchase")
+    w_latest = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        e.withColumn("rn", F.row_number().over(w_latest))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("value").alias("latest_value"),
+        )
+    )
+    return (
+        asof.join(F.broadcast(latest), "user_id")
+        .select("event_id", "user_id", "last_purchase",
+                "latest_event_id", "latest_value")
+        .orderBy("event_id")
+    )
+
+
+SQL_ASOF_LATEST = """
+WITH ap AS (
+  SELECT event_id, user_id,
+         LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase
+  FROM events),
+latest AS (
+  SELECT user_id, event_id AS latest_event_id, value AS latest_value FROM (
+    SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events)
+  WHERE rn = 1)
+SELECT a.event_id, a.user_id, a.last_purchase, l.latest_event_id, l.latest_value
+FROM ap a JOIN latest l USING (user_id)
+ORDER BY a.event_id
+"""
+
+
 def q_sessions(spark, sf):
     _prep(spark)
     from swingstream.operators.asof import session_stats
@@ -1175,6 +1234,51 @@ SELECT doc_id, shard, n_tokens, start_tok,
        CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // 256
             ELSE start_tok // 256 END AS last_block
 FROM c ORDER BY doc_id
+"""
+
+
+def q_docs_pack_blocks(spark, sf):
+    """r6: the MATERIALIZED packed blocks (packing.materialize_blocks) —
+    every 64-token block's exact text, hash-verified end-to-end: the
+    xxhash64 key table is staged, both engines derive the layout from
+    it, and DuckDB rebuilds each block by global token position
+    (tokenization is the shared whitespace split, the same cross-engine
+    convention q_docs_textquality pins)."""
+    _prep(spark)
+    from swingstream.operators.packing import materialize_blocks, with_pack_keys
+
+    d = _t(spark, sf, "documents")
+    path = _stage(with_pack_keys(d, n_shards=4), "pack_keys_mat")
+    return materialize_blocks(
+        d, block_tokens=64, n_shards=4,
+        keys=spark.read.parquet(path),
+    ).orderBy("shard", "block_id")
+
+
+SQL_DOCS_PACK_BLOCKS = f"""
+WITH k AS (
+  SELECT * FROM read_parquet('{_STAGE_ROOT}/pack_keys_mat/*.parquet')),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY order_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS start_tok
+  FROM k),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(text), '\\s+'),
+                     t -> LENGTH(t) > 0) AS t
+  FROM documents),
+pos AS (
+  SELECT c.shard, c.start_tok + i - 1 AS gpos, t[i] AS tok
+  FROM c JOIN toks USING (doc_id), UNNEST(range(1, len(t) + 1)) AS u(i)
+  WHERE c.n_tokens > 0)
+SELECT shard, gpos // 64 AS block_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY gpos) AS text
+FROM pos
+GROUP BY shard, gpos // 64
+ORDER BY shard, block_id
 """
 
 
@@ -2129,8 +2233,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # headline) — slot freed for the oracle-backed q_docs_pack below
     "q_window_frames": q_window_frames,
     "q_lag_lead": q_lag_lead,
-    "q_latest_event_per_user": q_latest_event_per_user,
-    "q_asof_last_purchase": q_asof_last_purchase,
+    # r6: q_latest_event_per_user+q_asof_last_purchase merged (both
+    # as-of shapes in one plan; standalone fns kept for any external
+    # callers) — slot spent on the oracle-backed q_docs_pack_blocks
+    "q_asof_latest": q_asof_latest,
     "q_sessions": q_sessions,
     # r6: q_tumbling_events+q_sliding_events merged (both event-time
     # window shapes in one hash-checked plan; standalone fns kept for
@@ -2161,14 +2267,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_swing_auroc": q_swing_auroc,
     "q_pages_features": q_pages_features,
     "q_session_series": q_session_series,
-    # --- slots 45-50: textquality + decontam + sampling + packing +
-    # line-dedup (oracle-backed) fill the window exactly ---
+    # --- slots 44-50: textquality + decontam + sampling + packing (+
+    # materialized blocks) + line-dedup (oracle-backed) fill the window
+    # exactly ---
     "q_docs_textquality": q_docs_textquality,
     "q_docs_boilerplate": q_docs_boilerplate,
     "q_docs_decontam": q_docs_decontam,
     "q_docs_sample": q_docs_sample,
     "q_docs_pack": q_docs_pack,
     "q_docs_line_dedup": q_docs_line_dedup,
+    "q_docs_pack_blocks": q_docs_pack_blocks,
     # --- past the driver's 50-entry window: rows-only queries ---
     # q_swing_edges / q_swing_sessions moved out in round 5 when the two
     # oracle-backed textquality queries landed: a hash-verified external
@@ -2202,8 +2310,7 @@ ORACLES: dict[str, str] = {
     "q_distinct_users": SQL_DISTINCT,
     "q_window_frames": SQL_WINDOW_FRAMES,
     "q_lag_lead": SQL_LAG_LEAD,
-    "q_latest_event_per_user": SQL_LATEST_EVENT,
-    "q_asof_last_purchase": SQL_ASOF,
+    "q_asof_latest": SQL_ASOF_LATEST,
     "q_sessions": SQL_SESSIONS,
     "q_event_time_windows": SQL_EVENT_TIME_WINDOWS,
     "q_session_window_events": SQL_SESSION_WINDOW,
@@ -2237,4 +2344,5 @@ ORACLES: dict[str, str] = {
     "q_docs_sample": SQL_DOCS_SAMPLE,
     "q_docs_pack": SQL_DOCS_PACK,
     "q_docs_line_dedup": SQL_DOCS_LINE_DEDUP,
+    "q_docs_pack_blocks": SQL_DOCS_PACK_BLOCKS,
 }

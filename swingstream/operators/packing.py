@@ -134,6 +134,7 @@ def materialize_blocks(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "pack",
+    keys: DataFrame | None = None,
 ) -> DataFrame:
     """Materialize the packed blocks themselves: (shard, block_id,
     n_tokens, text) where every block carries exactly ``block_tokens``
@@ -149,12 +150,19 @@ def materialize_blocks(
     block_id), and a per-block bounded ordered reassembly — the same
     collect_list/array_sort profile as line_dedup's per-doc rebuild.
     Each doc's text is read once; no collect, no Python.
+
+    ``keys`` overrides the packing-key frame (id, shard, order_key,
+    n_tokens) — the driver's staged-key oracle (contract.py
+    q_docs_pack_blocks) injects the staged table here so both engines
+    derive the layout from identical hashes.
     """
     b = int(block_tokens)
-    layout = pack_blocks(
-        docs, block_tokens=b, n_shards=n_shards,
-        text_col=text_col, id_col=id_col, salt=salt,
-    )
+    if keys is None:
+        keys = with_pack_keys(
+            docs, n_shards=n_shards, text_col=text_col,
+            id_col=id_col, salt=salt,
+        )
+    layout = pack_blocks_from_keys(keys, b, id_col=id_col)
     toked = docs.select(id_col, _tokens(F.col(text_col)).alias("_toks"))
     frags = (
         toked.join(layout, id_col)
