@@ -1225,9 +1225,9 @@ WITH k AS (
   SELECT * FROM read_parquet('{_STAGE_ROOT}/pack_keys/*.parquet')),
 c AS (
   SELECT doc_id, shard, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY order_key, doc_id
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY order_key, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-           AS start_tok
+           AS BIGINT) AS start_tok
   FROM k)
 SELECT doc_id, shard, n_tokens, start_tok,
        start_tok // 256 AS first_block,
@@ -1260,9 +1260,9 @@ WITH k AS (
   SELECT * FROM read_parquet('{_STAGE_ROOT}/pack_keys_mat/*.parquet')),
 c AS (
   SELECT doc_id, shard, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY order_key, doc_id
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY order_key, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-           AS start_tok
+           AS BIGINT) AS start_tok
   FROM k),
 toks AS (
   SELECT doc_id,

@@ -133,25 +133,33 @@ def doc_fingerprint(text: Column, n: int = 3) -> Column:
 # Tracking params stripped by canonical_url — the standard analytics /
 # click-id query keys that make otherwise-identical crawl URLs unique
 # (each pattern anchored over the full "key=value" string; RE2 subset).
+# Deliberately NOT stripped: bare "ref" (a functional routing/referral
+# param on many sites — e.g. source listings, package registries —
+# where distinct values are distinct pages); pass a wider pattern via
+# canonical_url(strip_params_re=...) for corpora where it is known to
+# be tracking-only.  "ref_src" stays: it is Twitter's share-widget
+# attribution key (ref_src=twsrc%5E...), never a router.
 TRACKING_PARAM_RE = (
-    r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src|igshid)="
+    r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref_src|igshid)="
 )
 
 
-def canonical_url(url: Column) -> Column:
+def canonical_url(url: Column, strip_params_re: str = TRACKING_PARAM_RE) -> Column:
     """Canonical form of a crawl URL for url-keyed dedup: lowercased
     scheme + host, fragment dropped, tracking query params
-    (TRACKING_PARAM_RE) removed, remaining params sorted, trailing '?'
-    dropped — so the same page reached via different campaign links
-    collapses to ONE dedup key.  Pure built-in composition
-    (split/filter/array_sort/concat) — JVM-side, no shuffle, usable as
-    the dedup key expression or in the admission gate.
+    (``strip_params_re``, default TRACKING_PARAM_RE) removed, remaining
+    params sorted, trailing '?' dropped — so the same page reached via
+    different campaign links collapses to ONE dedup key.  Pure built-in
+    composition (split/filter/array_sort/concat) — JVM-side, no
+    shuffle, usable as the dedup key expression or in the admission
+    gate.
 
     Parse is regex-based (scheme://host, then path, ?query, #fragment)
     to stay in whole-stage codegen; a url without a recognized
     http(s)://host prefix passes through with only fragment/tracking
-    cleanup (path bytes are never case-folded — paths are
-    case-sensitive, hosts are not).
+    cleanup.  Case-folding is scheme + HOST only: path bytes and any
+    userinfo (user:pass@) are case-sensitive per RFC 3986 and pass
+    through verbatim.
     """
     no_frag = F.split(F.trim(url), "#").getItem(0)
     base = F.split(no_frag, r"\?").getItem(0)
@@ -163,17 +171,29 @@ def canonical_url(url: Column) -> Column:
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),
-            lambda p: (F.length(p) > 0) & ~p.rlike(TRACKING_PARAM_RE),
+            lambda p: (F.length(p) > 0) & ~p.rlike(strip_params_re),
         )
     )
     canon_query = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.concat_ws("&", kept))
     ).otherwise(F.lit(""))
     scheme_host = F.regexp_extract(base, r"^((?i:https?)://[^/]+)", 1)
+    # authority = scheme_host minus "scheme://"; lowercase only the part
+    # after the LAST '@' (the host) — userinfo stays verbatim.  Greedy
+    # "(.*@)" anchors the split at the last '@'; both patterns are in
+    # the RE2-compatible subset (no lookarounds).
+    scheme = F.regexp_extract(scheme_host, r"^((?i:https?)://)", 1)
+    authority = F.substring(
+        scheme_host, F.length(scheme) + 1, F.length(scheme_host)
+    )
+    userinfo = F.regexp_extract(authority, r"^(.*@)", 1)
+    host = F.regexp_extract(authority, r"([^@]*)$", 1)
     canon_base = F.when(
         F.length(scheme_host) > 0,
         F.concat(
-            F.lower(scheme_host),
+            F.lower(scheme),
+            userinfo,
+            F.lower(host),
             F.substring(base, F.length(scheme_host) + 1, F.length(base)),
         ),
     ).otherwise(base)

@@ -58,7 +58,9 @@ def stratified_sample(
     [0, 1]; strata absent from the dict default to 0.0 (dropped) — an
     explicit mix recipe keeps what it names.  Membership is a pure
     column predicate (no shuffle, no aggregate): a doc survives iff
-    its residue < int(rate * k).
+    its residue < int(round(rate * k)) — rounded, not truncated, so a
+    nominal rate maps to the exact intended threshold (0.3 at k=10^6
+    is 300000, not the float-error 299999).
     """
     strata = list(strata_cols)
     res = sample_residue(F.col(key_col), salt=salt, k=k)
@@ -73,10 +75,10 @@ def stratified_sample(
             cond = F.lit(True)
             for c, v in zip(strata, vals):
                 cond = cond & (F.col(c) == F.lit(v))
-            expr = F.when(cond, F.lit(int(rate * k))).otherwise(expr)
+            expr = F.when(cond, F.lit(int(round(rate * k)))).otherwise(expr)
         threshold = expr
     else:
-        threshold = F.lit(int(float(rates) * k))
+        threshold = F.lit(int(round(float(rates) * k)))
     return df.where(res < threshold)
 
 

@@ -281,11 +281,12 @@ def compact_dedup(
         },
     )
     # commit() returns None only for an already-committed cid — excluded
-    # by the committed() check at entry under serial foreachBatch, but
-    # clear unconditionally anyway: leaking the sidecar would make a
-    # later orphan check for this cid compare against a stale intent
-    # (r5 advice)
-    assert manifest is not None, f"compaction {cid} raced a concurrent commit"
+    # by the committed() check at entry under serial foreachBatch.  An
+    # explicit raise (not assert: stripped under python -O, which would
+    # let _clear_intent run against someone else's committed snapshot
+    # and leak a stale-intent orphan) keeps the race a deliberate error.
+    if manifest is None:
+        raise RuntimeError(f"compaction {cid} raced a concurrent commit")
     _clear_intent(table, cid)
     return manifest
 
@@ -370,7 +371,8 @@ def compact_strip_lines(
             "max_docs_per_line": max_docs_per_line,
         },
     )
-    assert manifest is not None, f"strip-lines {cid} raced a concurrent commit"
+    if manifest is None:  # not assert: survives python -O (see compact_dedup)
+        raise RuntimeError(f"strip-lines {cid} raced a concurrent commit")
     _clear_intent(table, cid)
     return manifest
 
@@ -432,7 +434,8 @@ def compact_small_files(
         },
     )
     # see compact_dedup: unconditional clear so the sidecar can't leak
-    assert manifest is not None, f"bin-pack {cid} raced a concurrent commit"
+    if manifest is None:  # not assert: survives python -O (see compact_dedup)
+        raise RuntimeError(f"bin-pack {cid} raced a concurrent commit")
     _clear_intent(table, cid)
     return manifest
 

@@ -48,7 +48,28 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
+def _assert_dtype_exact(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    """The driver's hash is EXACT on stringified values, so an int64 column on
+    one side arriving float64 on the other ("123" vs "123.0") flips the hash
+    even when every value is numerically identical — exactly how q_docs_pack /
+    q_docs_pack_blocks shipped hash-red in round 6 (DuckDB HUGEINT window SUM
+    → pandas float64). Fail loudly BEFORE _normalize coerces the drift away."""
+    for c in sorted(set(spark_pdf.columns) & set(duck_pdf.columns)):
+        a, b = spark_pdf[c], duck_pdf[c]
+        a_int = pd.api.types.is_integer_dtype(a)
+        b_int = pd.api.types.is_integer_dtype(b)
+        a_flt = pd.api.types.is_float_dtype(a)
+        b_flt = pd.api.types.is_float_dtype(b)
+        assert not ((a_int and b_flt) or (a_flt and b_int)), (
+            f"{name}.{c}: int/float dtype drift — spark={a.dtype} vs "
+            f"oracle={b.dtype}; the driver's exact hash will see '123' vs "
+            f"'123.0'. CAST the oracle SQL (usually a windowed SUM promoted "
+            f"to HUGEINT) so both sides agree."
+        )
+
+
 def _assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    _assert_dtype_exact(spark_pdf, duck_pdf, name)
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
     assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
