@@ -65,6 +65,21 @@ class SwingParams:
     # same host, same bucket) and stream output is byte-identical to the
     # batch twin at any parallelism / arrival order (§4.3 pin #1).
     # Subsumes (url, warc_ts) transport dedup when enabled.
+    # Key url-based identity on canonical_url(url) instead of the raw
+    # url: tracking params stripped, host case-folded, params sorted —
+    # so the same page re-crawled via different campaign links collapses
+    # to ONE doc at ingest.  The rewrite happens at the narrow
+    # projection (the url COLUMN becomes its canonical form), so the
+    # dedup key, host grouping, and salt all derive from one canonical
+    # identity and the surviving copy is interchangeable BY KEY.  Byte
+    # parity pin: canonical-equal urls are assumed to carry identical
+    # (lang, text) payloads (they are the same page — that is what the
+    # canonicalization asserts); if a corpus violates that, the survivor
+    # among differing payloads is arbitrary, exactly like any
+    # dropDuplicates tie.  Applies to transport dedup and sessionization
+    # key derivation; content dedup (host, digest, bucket) is already
+    # url-insensitive except for host casing, which this folds.
+    canonical_urls: bool = False
     # PRECONDITION: delta_seconds <= watermark. dropDuplicatesWithinWatermark
     # only guarantees dedup for duplicates whose event times fall within the
     # watermark delay, and same-bucket content dups can be up to

@@ -133,6 +133,12 @@ def host_bucket_features(
     # event time, or payload cannot be bucketed — IsNotNull filters that
     # push down to the scan
     pages = drop_incomplete(pages, subset=["url", "warc_ts", "text"])
+    if params.canonical_urls:
+        # streaming twin does the same rewrite at its narrow projection:
+        # dedup key, host, and salt all read the canonical identity
+        from swingstream.functions.textfns import canonical_url
+
+        pages = pages.withColumn("url", canonical_url(F.col("url")))
     # project to numerics FIRST, dedup after: the dedup exchange then
     # shuffles ~10 scalars per row instead of the full text payload
     rows = pages_to_bucketed(pages, params, with_digest=params.dedup_content)

@@ -139,12 +139,17 @@ def session_series_batch(pages: DataFrame, params: SwingParams) -> DataFrame:
     )
 
     base = drop_incomplete(pages, subset=["url", "warc_ts", "text"])
+    url_expr = F.col("url")
+    if params.canonical_urls:  # same rewrite as session_features_stream
+        from swingstream.functions.textfns import canonical_url
+
+        url_expr = canonical_url(url_expr)
     # per-row numerics before the dedup shuffle (pin #4: text never
     # crosses an exchange)
     rows = deduplicate_pages(
         base.select(
-            host_of(F.col("url")).alias("host"),
-            "url",
+            host_of(url_expr).alias("host"),
+            url_expr.alias("url"),
             "warc_ts",
             *[c.alias(k) for k, c in _row_features().items()],
         )

@@ -23,7 +23,7 @@ from pyspark.sql.types import (
 )
 
 from swingstream.config import SwingParams
-from swingstream.functions.textfns import host_of
+from swingstream.functions.textfns import canonical_url, host_of
 from swingstream.operators.features import _finalize, _partials
 from swingstream.sources.catalog import IcebergLiteTable
 from swingstream.sources.pages import read_pages_stream
@@ -77,11 +77,19 @@ def feature_partials_stream(pages: DataFrame, params: SwingParams) -> DataFrame:
                 "bucket_key"
             ),
         ]
+    # canonical_urls: rewrite the url column ONCE at the narrow
+    # projection — dedup key, host, and salt below all read the
+    # canonical identity, so campaign-link duplicates collapse and the
+    # survivor's host/salt don't depend on which raw url won (pin in
+    # SwingParams.canonical_urls)
+    url_expr = (
+        canonical_url(F.col("url")) if params.canonical_urls else F.col("url")
+    )
     narrow = extracted.select(
-        "url",
+        url_expr.alias("url"),
         "warc_ts",
-        host_of(F.col("url")).alias("host"),
-        F.pmod(F.xxhash64("url"), F.lit(params.n_salts)).alias("salt"),
+        host_of(url_expr).alias("host"),
+        F.pmod(F.xxhash64(url_expr), F.lit(params.n_salts)).alias("salt"),
         *extra,
         *[c.alias(k) for k, c in _row_features().items()],
     )

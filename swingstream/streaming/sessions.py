@@ -46,7 +46,7 @@ from pyspark.sql.types import (
 from pyspark.sql import functions as F
 
 from swingstream.config import SwingParams
-from swingstream.functions.textfns import host_of
+from swingstream.functions.textfns import canonical_url, host_of
 from swingstream.operators.features import _partials, _row_features
 from swingstream.operators.scoring import EDGE_SCHEMA
 from swingstream.sources.catalog import IcebergLiteTable
@@ -86,10 +86,13 @@ def session_features_stream(pages: DataFrame, params: SwingParams) -> DataFrame:
     )
     # text reduced to numerics before the dedup shuffle (pin #4 — same
     # as feature_partials_stream)
+    url_expr = (  # same canonical-identity rewrite as feature_partials_stream
+        canonical_url(F.col("url")) if params.canonical_urls else F.col("url")
+    )
     narrow = extracted.select(
-        "url",
+        url_expr.alias("url"),
         "warc_ts",
-        host_of(F.col("url")).alias("host"),
+        host_of(url_expr).alias("host"),
         *[c.alias(k) for k, c in _row_features().items()],
     )
     deduped = (

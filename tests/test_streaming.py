@@ -687,6 +687,86 @@ def test_streaming_content_dedup_matches_batch(spark, tmp_path):
     )
 
 
+def test_streaming_canonical_url_dedup_matches_batch(spark, tmp_path):
+    """params.canonical_urls: the SAME page re-crawled through campaign
+    links (utm/fbclid decorations, host case flips) collapses to ONE doc
+    at ingest — the url column is rewritten to canonical_url(url) at the
+    narrow projection, so the dropDuplicatesWithinWatermark key, the
+    host grouping, AND the salt all read the canonical identity.  The
+    emitted feature vectors are byte-identical to the batch twin's, and
+    doc counts sit strictly below the raw-url run where duplicates were
+    planted."""
+    import dataclasses
+
+    from swingstream.operators.features import host_bucket_features
+    from swingstream.sources.pages import pages_from_pandas
+    from swingstream.streaming.pipeline import run_feature_query
+
+    params = dataclasses.replace(PARAMS, canonical_urls=True)
+    spec = PagesSpec(n_hosts=3, n_buckets=24, base_docs_per_bucket=4,
+                     late_frac=0.0)
+    df = gen_pages(spec).reset_index(drop=True)
+
+    def _campaignize(u: str, i: int) -> str:
+        # decorate with tracking params and upper-case the host — both
+        # must fold away under canonical_url
+        scheme, rest = u.split("://", 1)
+        host, _, path = rest.partition("/")
+        return (f"{scheme}://{host.upper()}/{path}"
+                f"?utm_source=camp{i}&fbclid=zz{i}")
+
+    dup_src = df.iloc[::9].copy()  # every 9th row gets a campaign twin
+    dup_src["url"] = [
+        _campaignize(u, i) for i, u in enumerate(dup_src["url"])
+    ]
+    # twin arrives just after its source row (often the next file) —
+    # lateness stays within gen_pages' watermark-bounded arrival order;
+    # a global reshuffle would make rows later than the watermark and
+    # the stream would legitimately drop what the batch twin keeps
+    dup_src["arrival_idx"] = dup_src["arrival_idx"] + 0.5
+    full = (pd.concat([df, dup_src], ignore_index=True)
+            .sort_values("arrival_idx", kind="stable")
+            .reset_index(drop=True))
+    full["arrival_idx"] = np.arange(len(full))
+
+    d = tmp_path / "canon_stream"
+    write_pages_stream_dir(full, str(d), n_files=6)
+    table, _ = run_feature_query(
+        spark, str(d), str(tmp_path / "feat_cu"), str(tmp_path / "ck_cu"),
+        params, max_files_per_trigger=1,
+    )
+    got = table.read(spark).toPandas()
+    assert len(got) > 0
+    # canonical host keys only: no case-flipped group ever leaks through
+    assert all(k == k.lower() for k in got["group_key"])
+
+    batch = host_bucket_features(
+        pages_from_pandas(spark, full), params, salted=True
+    ).toPandas()
+    bkey = {(r["group_key"], r["bucket_idx"]): list(r["features"])
+            for _, r in batch.iterrows()}
+    for _, r in got.iterrows():
+        want = bkey[(r["group_key"], r["bucket_idx"])]
+        assert r["features"][0] == want[0]
+        np.testing.assert_allclose(list(r["features"]), want, rtol=1e-12)
+
+    # the campaign twins actually collapsed: with canonical_urls OFF the
+    # same input counts them as distinct docs somewhere
+    raw = host_bucket_features(
+        pages_from_pandas(spark, full), PARAMS, salted=False
+    ).toPandas()
+    # raw mode splits case-flipped hosts into separate groups — sum doc
+    # counts over the case-folded key to compare apples to apples
+    rkey: dict = {}
+    for _, r in raw.iterrows():
+        k = (r["group_key"].lower(), r["bucket_idx"])
+        rkey[k] = rkey.get(k, 0.0) + r["features"][0]
+    assert any(
+        r["features"][0] < rkey[(r["group_key"], r["bucket_idx"])]
+        for _, r in got.iterrows()
+    )
+
+
 def test_scoring_stream_matches_batch(spark, stream_dir, tmp_path):
     from swingstream.operators.features import densify_buckets
     from swingstream.pipeline import series_from_features, swing_edges
