@@ -144,6 +144,11 @@ def boilerplate_ngrams(
     )
 
 
+# Schema-metadata key pinning the thresholds a reject_reason column was
+# produced under — quality_annotate's idempotence check reads it back.
+_QUALITY_PARAMS_KEY = "swingstream.quality_annotate.params"
+
+
 def quality_annotate(
     docs: DataFrame,
     *,
@@ -160,12 +165,38 @@ def quality_annotate(
     joined back on ``id_col`` — no collect, no skewed keys, identical
     profile per micro-batch and per batch.
 
-    Idempotent on pre-annotated input: a frame already carrying
-    ``reject_reason`` passes through unchanged, so a gated ingest can
-    annotate each micro-batch ONCE (and persist it) and feed the same
-    frame to both ``quality_gate`` and ``quality_rejections`` without
-    paying the explode + aggregations twice (r5 advice)."""
+    Idempotent on pre-annotated input: a frame already carrying a
+    ``reject_reason`` column THAT THIS FUNCTION PRODUCED UNDER THE SAME
+    THRESHOLDS passes through unchanged, so a gated ingest can annotate
+    each micro-batch ONCE (and persist it) and feed the same frame to
+    both ``quality_gate`` and ``quality_rejections`` without paying the
+    explode + aggregations twice (r5 advice).  The thresholds are
+    pinned in the column's schema metadata (survives persist/parquet
+    round trips); a frame annotated under DIFFERENT thresholds, or
+    source data that coincidentally carries a ``reject_reason`` column,
+    raises instead of silently gating on stale or foreign verdicts
+    (r6 advice)."""
+    params = {
+        "min_tokens": int(min_tokens),
+        "max_top_token_frac": float(max_top_token_frac),
+        "max_dup_bigram_frac": float(max_dup_bigram_frac),
+    }
     if "reject_reason" in docs.columns:
+        meta = docs.schema["reject_reason"].metadata or {}
+        prior = meta.get(_QUALITY_PARAMS_KEY)
+        if prior is None:
+            raise ValueError(
+                "input already carries a 'reject_reason' column that "
+                "quality_annotate did not produce (no threshold metadata) "
+                "— rename or drop it before annotating"
+            )
+        if prior != params:
+            raise ValueError(
+                "input was annotated under different thresholds: "
+                f"existing {prior} vs requested {params} — re-annotate "
+                "from the raw frame (drop 'reject_reason') or call with "
+                "the original thresholds"
+            )
         return docs
     rep = repetition_stats(docs, text_col=text_col, id_col=id_col)
     reason = (
@@ -180,7 +211,14 @@ def quality_annotate(
         )
     )
     return docs.join(
-        rep.select(id_col, reason.alias("reject_reason")), [id_col], "inner"
+        rep.select(
+            id_col,
+            reason.alias(
+                "reject_reason", metadata={_QUALITY_PARAMS_KEY: params}
+            ),
+        ),
+        [id_col],
+        "inner",
     )
 
 

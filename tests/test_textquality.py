@@ -231,5 +231,40 @@ def test_single_pass_gate_reuses_annotation(spark):
         # admitted + rejected partition the input exactly
         assert (rej.toPandas()["reject_reason"].isin(
             ["too_few_tokens", "top_token_frac", "dup_bigram_frac"]).all())
+        # r6 advice: idempotence is keyed on the threshold metadata, not
+        # bare column presence — different thresholds must raise, never
+        # silently gate on the stale verdicts
+        with pytest.raises(ValueError, match="different thresholds"):
+            quality_gate(ann, min_tokens=3)
     finally:
         ann.unpersist()
+
+
+def test_quality_annotate_rejects_foreign_reject_reason_column(spark):
+    """Source data that coincidentally carries a reject_reason column
+    (no quality_annotate metadata) must raise, not pass through as if
+    annotated."""
+    from swingstream.operators.textquality import quality_annotate
+
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1], "text": ["hello there"], "reject_reason": ["spam"]}
+    ))
+    with pytest.raises(ValueError, match="did not produce"):
+        quality_annotate(docs)
+
+
+def test_quality_annotate_metadata_survives_parquet(spark, tmp_path):
+    """The threshold pin must survive a parquet round trip, so a
+    persisted annotated corpus re-gates cheaply across jobs."""
+    from swingstream.operators.textquality import quality_annotate, quality_gate
+
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["one fine document", "x"]}
+    ))
+    p = str(tmp_path / "ann")
+    quality_annotate(docs, min_tokens=2).write.parquet(p)
+    back = spark.read.parquet(p)
+    # same thresholds: passes through (one row rejected at the gate)
+    assert quality_gate(back, min_tokens=2).count() == 1
+    with pytest.raises(ValueError, match="different thresholds"):
+        quality_gate(back, min_tokens=4)
