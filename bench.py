@@ -129,6 +129,7 @@ def _curation_extras(spark):
 
     from swingstream.operators.decontam import decontaminate
     from swingstream.operators.dedup import line_dedup
+    from swingstream.operators.packing import materialize_blocks, pack_blocks
     from swingstream.operators.sampling import token_budget_sample
 
     def docs():
@@ -154,6 +155,12 @@ def _curation_extras(spark):
             docs(), ["lang"], "n_chars", budget_per_stratum=100_000),
         "q_docs_line_dedup_5k": lambda: line_dedup(
             docs_with_lines(), max_docs_per_line=4),
+        # r7: the packing stage's wall is tracked round-over-round like
+        # the other curation extras (r6 VERDICT #4)
+        "q_docs_pack_5k": lambda: pack_blocks(
+            docs(), block_tokens=2048, n_shards=64),
+        "q_docs_pack_blocks_5k": lambda: materialize_blocks(
+            docs(), block_tokens=2048, n_shards=64),
     }
 
 
@@ -245,6 +252,11 @@ def run_streaming_bench(spark, params, fft: int | None = None,
         "docs_per_sec": round(n_docs / wall, 1),
         "feature_rows": feat_table.total_rows(),
         "edge_rows": edges_table.total_rows(),
+        # per-run wall-clock stamps: two byte-identical repeats in
+        # BENCH_r06 were uninterpretable (recording oddity vs real) —
+        # distinct ts_start values make any recurrence self-explaining
+        "ts_start": round(t0, 3),
+        "ts_end": round(t0 + wall, 3),
     }
     shutil.rmtree(work, ignore_errors=True)
     return out
@@ -340,6 +352,13 @@ def main() -> None:
     calibration_post = _host_calibration()
     streaming = max(streaming_runs, key=lambda s: s["docs_per_sec"])
     streaming["wall_sec_repeats"] = sorted(s["wall_sec"] for s in streaming_runs)
+    # per-run (wall, ts) detail — r6 VERDICT #3: two byte-identical
+    # repeat walls were uninterpretable without independent timestamps
+    streaming["repeats_detail"] = [
+        {"wall_sec": s["wall_sec"], "ts_start": s["ts_start"],
+         "ts_end": s["ts_end"]}
+        for s in streaming_runs
+    ]
     queries["streaming_swing_pipeline"] = streaming["wall_sec"]
     queries_median["streaming_swing_pipeline"] = round(
         statistics.median(streaming["wall_sec_repeats"]), 3)
