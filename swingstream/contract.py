@@ -1109,16 +1109,24 @@ LIMIT 20
 
 
 def q_docs_decontam(spark, sf):
-    """r6: benchmark decontamination (operators/decontam.py) — per-doc
-    count of distinct 8-gram digests shared with an eval set, via the
-    staged-parquet pattern: the xxhash64 digest tables (corpus side and
-    eval side) are staged, and the hash-verified remainder is exactly
-    ``decontaminate_from_digests`` (digest equi-join + per-doc count +
-    verdict).  The eval set is a deterministic slice of the corpus
-    itself (doc_id % 7 == 0) so contamination genuinely fires — those
-    docs and any n-gram-sharing neighbors flag."""
+    """r6 (+r7 punct mode): benchmark decontamination
+    (operators/decontam.py) — per-doc count of distinct 8-gram digests
+    shared with an eval set, BOTH normalization disciplines in one
+    hash-checked result:
+
+    * mode='simple' (lowercase + whitespace) via the staged-parquet
+      pattern: the xxhash64 digest tables are staged and the
+      hash-verified remainder is exactly ``decontaminate_from_digests``;
+    * mode='punct' (GPT-3 appendix-C: punctuation stripped before the
+      n-grams) with NO staging at all — DuckDB replays the
+      normalization, n-gram windows, and the digest-free string join
+      end-to-end, so the normalization itself is hash-verified.
+
+    The eval set is a deterministic slice of the corpus itself
+    (doc_id % 7 == 0) so contamination genuinely fires."""
     _prep(spark)
     from swingstream.operators.decontam import (
+        decontaminate,
         decontaminate_from_digests,
         eval_digest_set,
         ngram_digest_table,
@@ -1128,10 +1136,20 @@ def q_docs_decontam(spark, sf):
     ev_docs = d.where(F.col("doc_id") % 7 == 0)
     dg = _stage(ngram_digest_table(d, n=8), "decontam_doc_grams")
     eg = _stage(eval_digest_set(ev_docs, n=8), "decontam_eval_grams")
-    return decontaminate_from_digests(
+    simple = decontaminate_from_digests(
         d, spark.read.parquet(dg), spark.read.parquet(eg), min_hits=1
-    ).orderBy("doc_id")
+    )
+    punct = decontaminate(d, ev_docs, n=8, normalize="punct")
+    return (
+        simple.withColumn("mode", F.lit("simple"))
+        .unionByName(punct.withColumn("mode", F.lit("punct")))
+        .orderBy("mode", "doc_id")
+    )
 
+
+_DECONTAM_G8 = " || ' ' || ".join(f"t[i+{j}]" for j in range(8)).replace(
+    "t[i+0]", "t[i]"
+)
 
 SQL_DOCS_DECONTAM = f"""
 WITH cg AS (
@@ -1141,12 +1159,35 @@ eg AS (
 hits AS (
   SELECT cg.id, CAST(COUNT(*) AS BIGINT) AS n
   FROM cg JOIN eg ON cg.digest = eg.digest
-  GROUP BY cg.id)
+  GROUP BY cg.id),
+ptoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(regexp_replace(
+             LOWER(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+             t -> LENGTH(t) > 0) AS t
+  FROM documents),
+pgrams AS (
+  SELECT DISTINCT doc_id, {_DECONTAM_G8} AS g
+  FROM ptoks, UNNEST(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8),
+pevals AS (
+  SELECT DISTINCT g FROM pgrams WHERE doc_id % 7 = 0),
+phits AS (
+  SELECT pg.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pgrams pg JOIN pevals e ON pg.g = e.g
+  GROUP BY pg.doc_id)
 SELECT d.doc_id,
        CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
-       COALESCE(h.n, 0) >= 1 AS contaminated
+       COALESCE(h.n, 0) >= 1 AS contaminated,
+       'simple' AS mode
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
-ORDER BY d.doc_id
+UNION ALL
+SELECT d.doc_id,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+       COALESCE(p.n, 0) >= 1 AS contaminated,
+       'punct' AS mode
+FROM documents d LEFT JOIN phits p ON d.doc_id = p.doc_id
+ORDER BY mode, doc_id
 """
 
 

@@ -31,11 +31,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _norm_tokens(text: Column) -> Column:
-    """Lowercased whitespace tokens (decontamination normalizes case so
-    trivial re-casing can't hide an overlap); blank text -> empty array."""
+def _norm_tokens(text: Column, normalize: str = "simple") -> Column:
+    """Normalized token array; blank text -> empty array.
+
+    ``normalize="simple"``: lowercase + whitespace split (re-casing
+    can't hide an overlap).  ``normalize="punct"``: the GPT-3
+    appendix-C discipline — lowercase, EVERY non-alphanumeric byte
+    replaced by a space, then whitespace split — so re-punctuation
+    ("the cat, sat." vs "the cat sat") can't hide one either.  The
+    punct regex is the RE2-compatible ASCII subset, so the DuckDB
+    oracle replays it byte-for-byte (regexp_replace ... 'g')."""
+    t = F.lower(text)
+    if normalize == "punct":
+        t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    elif normalize != "simple":
+        raise ValueError(f"normalize must be 'simple' or 'punct': {normalize!r}")
     return F.filter(
-        F.split(F.trim(F.lower(text)), r"\s+"), lambda t: F.length(t) > 0
+        F.split(F.trim(t), r"\s+"), lambda tok: F.length(tok) > 0
     )
 
 
@@ -56,12 +68,13 @@ def ngram_digest_table(
     n: int = 13,
     text_col: str = "text",
     id_col: str = "doc_id",
+    normalize: str = "simple",
 ) -> DataFrame:
     """(id, digest): DISTINCT xxhash64 digests of every ``n``-token
     window per document.  Distinct per doc so a repeated phrase inside
     one document counts once toward its contamination score — the
     standard "number of distinct leaked n-grams" metric."""
-    toks = _norm_tokens(F.col(text_col))
+    toks = _norm_tokens(F.col(text_col), normalize)
     return (
         docs.select(F.col(id_col).alias("id"), toks.alias("_toks"))
         .where(F.size("_toks") >= n)
@@ -75,11 +88,12 @@ def eval_digest_set(
     eval_docs: DataFrame,
     n: int = 13,
     text_col: str = "text",
+    normalize: str = "simple",
 ) -> DataFrame:
     """The benchmark suite's distinct n-gram digest set — one column
     ``digest``.  Compute once per eval suite and reuse across corpus
     shards; at typical suite sizes (1e3-1e5 docs) this is megabytes."""
-    toks = _norm_tokens(F.col(text_col))
+    toks = _norm_tokens(F.col(text_col), normalize)
     return (
         eval_docs.select(toks.alias("_toks"))
         .where(F.size("_toks") >= n)
@@ -135,6 +149,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_eval: bool = True,
+    normalize: str = "simple",
 ) -> DataFrame:
     """Per-document contamination verdict against an eval set.
 
@@ -144,8 +159,11 @@ def decontaminate(
     (n_contaminated_ngrams >= ``min_hits``) — the flag a curation
     pipeline filters or routes on.
     """
-    corpus = ngram_digest_table(docs, n=n, text_col=text_col, id_col=id_col)
-    evals = eval_digest_set(eval_docs, n=n, text_col=text_col)
+    corpus = ngram_digest_table(
+        docs, n=n, text_col=text_col, id_col=id_col, normalize=normalize
+    )
+    evals = eval_digest_set(eval_docs, n=n, text_col=text_col,
+                            normalize=normalize)
     return decontaminate_from_digests(
         docs, corpus, evals, min_hits=min_hits, id_col=id_col,
         broadcast_eval=broadcast_eval,
@@ -160,6 +178,7 @@ def decontaminated_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_eval: bool = True,
+    normalize: str = "simple",
 ) -> DataFrame:
     """The filtered corpus: documents with fewer than ``min_hits``
     eval-overlapping n-grams, all columns unchanged.  One left-anti
@@ -168,5 +187,6 @@ def decontaminated_corpus(
     flagged = decontaminate(
         docs, eval_docs, n=n, min_hits=min_hits,
         text_col=text_col, id_col=id_col, broadcast_eval=broadcast_eval,
+        normalize=normalize,
     ).where(F.col("contaminated")).select(id_col)
     return docs.join(flagged, id_col, "left_anti")

@@ -68,6 +68,36 @@ def test_decontaminate_flags_overlapping_docs(spark):
     assert len(out) == 5
 
 
+def test_decontaminate_punct_normalization_catches_repunctuated_leak(spark):
+    """normalize='punct' (GPT-3 appendix C): a re-punctuated copy of an
+    eval window ("the capital, of france... is PARIS!") shares no
+    whitespace-token 8-gram with the eval set, but after punctuation
+    stripping it is a verbatim leak — punct mode must flag what simple
+    mode misses, and stay identical on punctuation-free docs."""
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [
+            # punctuated copy of the first 8 eval tokens
+            "the capital, of france... is PARIS! and the",
+            "clean text about gardening and soil and compost heaps today",
+        ],
+    }))
+    simple = decontaminate(docs, _eval(spark), n=8).orderBy("doc_id").toPandas()
+    punct = decontaminate(
+        docs, _eval(spark), n=8, normalize="punct"
+    ).orderBy("doc_id").toPandas()
+    assert simple["n_contaminated_ngrams"].tolist() == [0, 0]
+    assert punct["n_contaminated_ngrams"].tolist() == [1, 0]
+    assert punct["contaminated"].tolist() == [True, False]
+
+
+def test_decontaminate_rejects_unknown_normalize(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="normalize"):
+        decontaminate(_docs(spark), _eval(spark), n=8, normalize="unicode")
+
+
 def test_decontaminate_min_hits_threshold(spark):
     out = (
         decontaminate(_docs(spark), _eval(spark), n=8, min_hits=2)
