@@ -129,6 +129,7 @@ def _curation_extras(spark):
 
     from swingstream.operators.decontam import decontaminate
     from swingstream.operators.dedup import line_dedup
+    from swingstream.operators.dsir import dsir_select
     from swingstream.operators.packing import materialize_blocks, pack_blocks
     from swingstream.operators.sampling import token_budget_sample
 
@@ -161,6 +162,10 @@ def _curation_extras(spark):
             docs(), block_tokens=2048, n_shards=64),
         "q_docs_pack_blocks_5k": lambda: materialize_blocks(
             docs(), block_tokens=2048, n_shards=64),
+        # r7: DSIR importance-weighted selection (target = every 5th doc)
+        "q_docs_dsir_5k": lambda: dsir_select(
+            docs(), docs().where(F.col("doc_id") % 5 == 0),
+            k=1000, n_buckets=4096, mode="gumbel"),
     }
 
 

@@ -967,6 +967,115 @@ ORDER BY doc_id
 """
 
 
+def q_docs_content_ids(spark, sf):
+    """r7 merge of q_docs_digest_map + q_docs_fingerprint (identical
+    operator coverage — md5 content-identity grouping AND shingle
+    fingerprinting — in one hash-checked per-doc result; the standalone
+    fns stay defined).  Slot freed for the oracle-backed q_docs_dsir."""
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    dm = d.groupBy(F.md5("text").alias("digest")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("doc_id").alias("keep_id"),
+    )
+    sh = T.shingle_digests(F.col("text"), 3)
+    fp = d.select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        F.size(F.array_distinct(sh)).cast("long").alias("n_shingles"),
+        T.doc_fingerprint(F.col("text"), 3).alias("fingerprint"),
+    )
+    return fp.join(dm, "digest").select(
+        "doc_id", "digest", "n_copies", "keep_id", "n_shingles", "fingerprint"
+    ).orderBy("doc_id")
+
+
+SQL_DOCS_CONTENT_IDS = """
+WITH dm AS (
+  SELECT md5(text) AS digest, CAST(COUNT(*) AS BIGINT) AS n_copies,
+         MIN(doc_id) AS keep_id
+  FROM documents GROUP BY 1),
+fp AS (
+  SELECT doc_id, md5(text) AS digest,
+         CAST(len(list_distinct(sh)) AS BIGINT) AS n_shingles,
+         list_min(sh) AS fingerprint
+  FROM (
+    SELECT doc_id, text,
+           list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                          i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+    FROM (SELECT doc_id, text,
+                 string_split_regex(TRIM(LOWER(text)), '\\s+') AS t
+          FROM documents)))
+SELECT fp.doc_id, fp.digest, dm.n_copies, dm.keep_id,
+       fp.n_shingles, fp.fingerprint
+FROM fp JOIN dm USING (digest)
+ORDER BY fp.doc_id
+"""
+
+
+def q_docs_dsir(spark, sf):
+    """r7: DSIR-style importance-weighted data selection
+    (operators/dsir.py; Xie et al. 2023) — per-doc log importance
+    weight of the raw corpus against an English-only target slice,
+    via the staged-key pattern: the xxhash64 hashed-unigram+bigram
+    bucket counts are staged, and the hash-verified remainder is
+    exactly ``bucket_totals → bucket_logratio → dsir_logweights``:
+    smoothed bucket models, micro-nat BIGINT log ratios, and the
+    order-independent integer weight sum DuckDB replays bit-for-bit
+    (LN on identical doubles; the 1e6 rounding absorbs libm ulps)."""
+    _prep(spark)
+    from swingstream.operators.dsir import (
+        bucket_logratio,
+        bucket_totals,
+        dsir_logweights,
+        hashed_gram_counts,
+    )
+
+    B = 1024
+    d = _t(spark, sf, "documents")
+    path = _stage(hashed_gram_counts(d, B), "dsir_counts")
+    counts = spark.read.parquet(path)
+    tgt_counts = counts.join(
+        d.select(F.col("doc_id").alias("id"), "lang"), "id"
+    ).where(F.col("lang") == "en")
+    ratio = bucket_logratio(
+        bucket_totals(tgt_counts), bucket_totals(counts), B
+    )
+    return (
+        dsir_logweights(counts, ratio, ids=d)
+        .select(F.col("id").alias("doc_id"), "logw_micro")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOCS_DSIR = f"""
+WITH c AS (
+  SELECT * FROM read_parquet('{_STAGE_ROOT}/dsir_counts/*.parquet')),
+rt AS (
+  SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS r_cnt FROM c GROUP BY bucket),
+tt AS (
+  SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS t_cnt
+  FROM c JOIN documents d ON c.id = d.doc_id
+  WHERE d.lang = 'en' GROUP BY bucket),
+sums AS (
+  SELECT (SELECT CAST(SUM(t_cnt) AS DOUBLE) FROM tt) AS t_sum,
+         (SELECT CAST(SUM(r_cnt) AS DOUBLE) FROM rt) AS r_sum),
+ratio AS (
+  SELECT bucket,
+         CAST(FLOOR(
+           (LN((COALESCE(t_cnt, 0) + 1.0) / (t_sum + 1024.0))
+            - LN((COALESCE(r_cnt, 0) + 1.0) / (r_sum + 1024.0)))
+           * 1000000.0 + 0.5) AS BIGINT) AS ratio_micro
+  FROM rt FULL OUTER JOIN tt USING (bucket), sums),
+w AS (
+  SELECT c.id, CAST(SUM(c.cnt * ratio.ratio_micro) AS BIGINT) AS logw_micro
+  FROM c JOIN ratio USING (bucket) GROUP BY c.id)
+SELECT d.doc_id, CAST(COALESCE(w.logw_micro, 0) AS BIGINT) AS logw_micro
+FROM documents d LEFT JOIN w ON d.doc_id = w.id
+ORDER BY d.doc_id
+"""
+
+
 def q_docs_textquality(spark, sf):
     """Gopher-style per-doc repetition gates (textquality.repetition_stats)
     joined with the PII scrub (textquality.pii_scrub).  Repetition runs on
@@ -2288,8 +2397,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_docs_stats": q_docs_stats,
     "q_docs_quality": q_docs_quality,
     "q_docs_langid": q_docs_langid,
-    "q_docs_digest_map": q_docs_digest_map,
-    "q_docs_fingerprint": q_docs_fingerprint,
+    # r7: q_docs_digest_map+q_docs_fingerprint merged into
+    # q_docs_content_ids (same md5-grouping + shingle-fingerprint
+    # coverage in one hash; standalone fns stay defined) — slot spent
+    # on the oracle-backed q_docs_dsir below
+    "q_docs_content_ids": q_docs_content_ids,
+    "q_docs_dsir": q_docs_dsir,
     "q_docs_ngram_jaccard": q_docs_ngram_jaccard,
     "q_emb_topk": q_emb_topk,
     "q_emb_neardup": q_emb_neardup,
@@ -2359,8 +2472,8 @@ ORACLES: dict[str, str] = {
     "q_docs_stats": SQL_DOCS_STATS,
     "q_docs_quality": SQL_DOCS_QUALITY,
     "q_docs_langid": SQL_DOCS_LANGID,
-    "q_docs_digest_map": SQL_DIGEST_MAP,
-    "q_docs_fingerprint": SQL_DOCS_FINGERPRINT,
+    "q_docs_content_ids": SQL_DOCS_CONTENT_IDS,
+    "q_docs_dsir": SQL_DOCS_DSIR,
     "q_docs_ngram_jaccard": SQL_NGRAM_JACCARD,
     "q_emb_topk": SQL_EMB_TOPK,
     "q_emb_neardup": SQL_EMB_NEARDUP,
