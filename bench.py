@@ -131,10 +131,26 @@ def _curation_extras(spark):
     from swingstream.operators.dedup import line_dedup
     from swingstream.operators.dsir import dsir_select
     from swingstream.operators.packing import materialize_blocks, pack_blocks
+    from swingstream.operators.quality_clf import (
+        quality_clf_scores,
+        train_quality_classifier,
+    )
     from swingstream.operators.sampling import token_budget_sample
 
     def docs():
         return spark.read.parquet(_realistic_docs_path()).repartition(64)
+
+    _qclf_cache: dict = {}
+
+    def _qclf_model():
+        if "m" not in _qclf_cache:
+            dd = docs()
+            _qclf_cache["m"] = train_quality_classifier(
+                dd.where(F.col("doc_id") % 5 == 0),
+                dd.where(F.col("doc_id") % 5 != 0),
+                n_buckets=4096, max_train_docs=500, n_iter=100,
+            )
+        return _qclf_cache["m"]
 
     def docs_with_lines():
         # the Zipf corpus is single-line; plant a boilerplate line on
@@ -166,6 +182,11 @@ def _curation_extras(spark):
         "q_docs_dsir_5k": lambda: dsir_select(
             docs(), docs().where(F.col("doc_id") % 5 == 0),
             k=1000, n_buckets=4096, mode="gumbel"),
+        # r7: trained-classifier scoring — the model is fit ONCE (cached
+        # closure: training is the bounded-sample stage, the timed wall
+        # is the corpus-wide scoring pass, the part that scales)
+        "q_docs_quality_clf_5k": lambda: quality_clf_scores(
+            docs(), _qclf_model()),
     }
 
 

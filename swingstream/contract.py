@@ -896,6 +896,127 @@ GROUP BY lang, pred_lang ORDER BY lang, pred_lang
 """
 
 
+def q_docs_text_profile(spark, sf):
+    """r7 merge of q_docs_quality + q_docs_langid (heuristic quality
+    score AND stopword-vote language ID, per doc, in one hash-checked
+    result; the standalone fns stay defined for the frozen bench
+    headline).  Slot freed for the oracle-backed q_docs_quality_clf."""
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        T.lang_id(F.col("text")).alias("pred_lang"),
+        _fr6(T.quality_score(F.col("text"))).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_SQL_QUALITY_EXPR = f"""
+  FLOOR(GREATEST(CAST(0.0 AS DOUBLE), LEAST(CAST(1.0 AS DOUBLE),
+    CAST(0.4 AS DOUBLE) * LEAST(LENGTH(text), 500) / CAST(500.0 AS DOUBLE)
+    + CAST(0.3 AS DOUBLE) * (CASE WHEN n_toks = 0 THEN CAST(0.0 AS DOUBLE) ELSE n_stop / n_toks END)
+    - CAST(0.2 AS DOUBLE) * (CASE WHEN LENGTH(text) = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE (LENGTH(text) - LENGTH(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))) / LENGTH(text) END)
+    - CAST(0.1 AS DOUBLE) * (CASE WHEN LENGTH(text) = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE (LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))) / LENGTH(text) END)
+  )) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)
+"""
+
+SQL_DOCS_TEXT_PROFILE = f"""
+SELECT doc_id, lang,
+  CASE WHEN GREATEST(ce, cd, cf, cs) = 0 THEN 'zz'
+       WHEN ce >= cd AND ce >= cf AND ce >= cs THEN 'en'
+       WHEN cd >= cf AND cd >= cs THEN 'de'
+       WHEN cf >= cs THEN 'fr'
+       ELSE 'es' END AS pred_lang,
+  {_SQL_QUALITY_EXPR} AS quality
+FROM (
+  SELECT doc_id, lang, text,
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_toks,
+    len(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+        t -> list_contains({_sql_list(STOP_EN)}, t))) AS n_stop,
+    {_sw_count('en')} AS ce, {_sw_count('de')} AS cd,
+    {_sw_count('fr')} AS cf, {_sw_count('es')} AS cs
+  FROM documents)
+ORDER BY doc_id
+"""
+
+
+def q_docs_quality_clf(spark, sf):
+    """r7: trained hashed-linear quality classifier
+    (operators/quality_clf.py; CCNet / GPT-3 appendix-A practice) —
+    per-doc sigmoid quality score under a model fit on weak labels
+    (positive = lang 'en' docs, negative = the rest; deterministic
+    residue-capped training sample, bit-identical re-fits).  Staged-key
+    pattern: the xxhash64 hashed-gram counts, the trained micro-weight
+    table, and the 1-row bias are staged; the hash-verified remainder
+    is exactly ``score_with_weights`` — BIGINT weighted sums, one
+    double division, sigmoid, 6-dp floor — which DuckDB replays
+    bit-for-bit (the 1e6 rounding absorbs EXP libm ulps)."""
+    _prep(spark)
+    from swingstream.operators.dsir import hashed_gram_counts
+    from swingstream.operators.quality_clf import (
+        score_with_weights,
+        train_quality_classifier,
+    )
+
+    B = 1024
+    d = _t(spark, sf, "documents")
+    model = train_quality_classifier(
+        d.where(F.col("lang") == "en"),
+        d.where(F.col("lang") != "en"),
+        n_buckets=B, max_train_docs=400, n_iter=100,
+    )
+    cpath = _stage(hashed_gram_counts(d, B, salt=model.salt), "qclf_counts")
+    wpath = _stage(model.weight_table(spark), "qclf_weights")
+    mpath = _stage(
+        spark.createDataFrame(
+            [(model.bias_micro,)], "bias_micro: long"
+        ),
+        "qclf_meta",
+    )
+    _ = spark.read.parquet(mpath)  # staged for the oracle
+    return (
+        score_with_weights(
+            spark.read.parquet(cpath), spark.read.parquet(wpath),
+            model.bias_micro, ids=d,
+        )
+        .select(F.col("id").alias("doc_id"), "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOCS_QUALITY_CLF = f"""
+WITH c AS (
+  SELECT * FROM read_parquet('{_STAGE_ROOT}/qclf_counts/*.parquet')),
+wt AS (
+  SELECT * FROM read_parquet('{_STAGE_ROOT}/qclf_weights/*.parquet')),
+m AS (
+  SELECT * FROM read_parquet('{_STAGE_ROOT}/qclf_meta/*.parquet')),
+agg AS (
+  SELECT c.id,
+         CAST(SUM(c.cnt * COALESCE(wt.w_micro, 0)) AS BIGINT) AS sw,
+         CAST(SUM(c.cnt) AS BIGINT) AS tot
+  FROM c LEFT JOIN wt USING (bucket) GROUP BY c.id),
+s AS (
+  SELECT id,
+         FLOOR((1.0 / (1.0 + EXP(-(
+             m.bias_micro / 1000000.0
+             + (CAST(sw AS DOUBLE) / 1000000.0) / CAST(tot AS DOUBLE)
+         )))) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
+  FROM agg, m)
+SELECT d.doc_id,
+       COALESCE(
+         s.quality_score,
+         (SELECT FLOOR((1.0 / (1.0 + EXP(-(bias_micro / 1000000.0))))
+                 * 1000000.0 + 0.5) / 1000000.0 FROM m)
+       ) AS quality_score
+FROM documents d LEFT JOIN s ON d.doc_id = s.id
+ORDER BY d.doc_id
+"""
+
+
 def q_docs_digest_map(spark, sf):
     _prep(spark)
     d = _t(spark, sf, "documents")
@@ -2395,8 +2516,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_session_window_events": q_session_window_events,
     "q_json_props": q_json_props,
     "q_docs_stats": q_docs_stats,
-    "q_docs_quality": q_docs_quality,
-    "q_docs_langid": q_docs_langid,
+    # r7: q_docs_quality+q_docs_langid merged into q_docs_text_profile
+    # (same heuristic-quality + language-ID coverage per doc in one
+    # hash; standalone fns stay for the frozen bench headline) — slot
+    # spent on the oracle-backed trained classifier below
+    "q_docs_text_profile": q_docs_text_profile,
+    "q_docs_quality_clf": q_docs_quality_clf,
     # r7: q_docs_digest_map+q_docs_fingerprint merged into
     # q_docs_content_ids (same md5-grouping + shingle-fingerprint
     # coverage in one hash; standalone fns stay defined) — slot spent
@@ -2470,8 +2595,8 @@ ORACLES: dict[str, str] = {
     "q_session_window_events": SQL_SESSION_WINDOW,
     "q_json_props": SQL_JSON,
     "q_docs_stats": SQL_DOCS_STATS,
-    "q_docs_quality": SQL_DOCS_QUALITY,
-    "q_docs_langid": SQL_DOCS_LANGID,
+    "q_docs_text_profile": SQL_DOCS_TEXT_PROFILE,
+    "q_docs_quality_clf": SQL_DOCS_QUALITY_CLF,
     "q_docs_content_ids": SQL_DOCS_CONTENT_IDS,
     "q_docs_dsir": SQL_DOCS_DSIR,
     "q_docs_ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -54,13 +54,17 @@ def _norm_tokens(text: Column, normalize: str = "simple") -> Column:
 def _ngram_strings(toks: Column, n: int) -> Column:
     """All space-joined n-token windows of a token array (empty when the
     doc is shorter than n — a doc that cannot contain the n-gram cannot
-    be contaminated by it)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+    be contaminated by it; the guard also keeps sequence() from
+    descending on short docs)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_digest_table(
@@ -73,12 +77,19 @@ def ngram_digest_table(
     """(id, digest): DISTINCT xxhash64 digests of every ``n``-token
     window per document.  Distinct per doc so a repeated phrase inside
     one document counts once toward its contamination score — the
-    standard "number of distinct leaked n-grams" metric."""
+    standard "number of distinct leaked n-grams" metric.
+
+    The gram expression is exploded INLINE (not via a projected array
+    column): InferFiltersFromGenerate only fires on attribute inputs
+    (SPARK-33544) and its inferred size() pre-filter re-evaluates the
+    whole n-gram build per row — measured 2-6x slower on the bench
+    corpus for this plan family."""
     toks = _norm_tokens(F.col(text_col), normalize)
     return (
-        docs.select(F.col(id_col).alias("id"), toks.alias("_toks"))
-        .where(F.size("_toks") >= n)
-        .select("id", F.explode(_ngram_strings(F.col("_toks"), n)).alias("_g"))
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(_ngram_strings(toks, n)).alias("_g"),
+        )
         .select("id", F.xxhash64("_g").alias("digest"))
         .distinct()
     )
@@ -92,12 +103,12 @@ def eval_digest_set(
 ) -> DataFrame:
     """The benchmark suite's distinct n-gram digest set — one column
     ``digest``.  Compute once per eval suite and reuse across corpus
-    shards; at typical suite sizes (1e3-1e5 docs) this is megabytes."""
+    shards; at typical suite sizes (1e3-1e5 docs) this is megabytes.
+    Inline explode for the same InferFiltersFromGenerate reason as
+    ngram_digest_table."""
     toks = _norm_tokens(F.col(text_col), normalize)
     return (
-        eval_docs.select(toks.alias("_toks"))
-        .where(F.size("_toks") >= n)
-        .select(F.explode(_ngram_strings(F.col("_toks"), n)).alias("_g"))
+        eval_docs.select(F.explode(_ngram_strings(toks, n)).alias("_g"))
         .select(F.xxhash64("_g").alias("digest"))
         .distinct()
     )

@@ -77,9 +77,12 @@ def hashed_gram_counts(
             ),
         ).otherwise(F.array().cast("array<string>"))
         grams = F.concat(toks, bi)
+    # explode the gram expression INLINE: projecting it to a column
+    # first lets InferFiltersFromGenerate add a size()>0 pre-filter that
+    # re-evaluates the whole tokenize+bigram expression per row below
+    # the exchange — measured 6x slower on the 5k bench corpus
     return (
-        docs.select(F.col(id_col).alias("id"), grams.alias("_g"))
-        .select("id", F.explode("_g").alias("gram"))
+        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
         .select(
             "id",
             F.pmod(F.xxhash64("gram", F.lit(salt)), F.lit(n_buckets))

@@ -120,17 +120,22 @@ def boilerplate_ngrams(
     profile as a word-count; top-k compiles to TakeOrderedAndProject,
     so no global sort ever materializes.
     """
-    toks = F.col("_toks")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+    # inline explode of the guarded gram expression — a projected array
+    # column would trip InferFiltersFromGenerate's size() pre-filter,
+    # which re-evaluates the whole n-gram build per row (SPARK-33544
+    # limits the rule to attributes; measured 2-6x on the bench corpus)
+    toks = _tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(id_col, _tokens(F.col(text_col)).alias("_toks"))
-        .where(F.size("_toks") >= n)
-        .select(id_col, F.explode(grams).alias("ngram"))
+        docs.select(id_col, F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(
             F.count_distinct(id_col).cast("long").alias("n_docs"),
