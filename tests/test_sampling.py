@@ -105,3 +105,58 @@ def test_token_budget_sample_broadcasts_thresholds(corpus):
     df = token_budget_sample(corpus, ["lang"], "n_tok", 10_000)
     assert has_broadcast_join(df)
     assert "Python" not in explain_str(df, "simple")
+
+
+def test_mixture_thresholds_integer_exact(corpus):
+    """Hand-checkable BIGINT arithmetic: each stratum holds 1000 docs;
+    token mass per stratum = sum of its n_tok values."""
+    from swingstream.operators.sampling import mixture_thresholds
+
+    th = mixture_thresholds(
+        corpus, ["lang"], "n_tok", {"en": 0.6, "de": 0.4},
+        total_budget=30_000,
+    ).toPandas().set_index("lang")
+    tok = corpus.groupBy("lang").agg(
+        F.sum("n_tok").alias("t")).toPandas().set_index("lang")["t"]
+    for lang, p_ppm in [("en", 600_000), ("de", 400_000)]:
+        target = 30_000 * p_ppm // 1_000_000
+        want = min(SAMPLE_K, target * SAMPLE_K // int(tok[lang]))
+        assert th.loc[lang, "target_tokens"] == target
+        assert th.loc[lang, "threshold_k"] == want
+    # strata absent from the recipe: threshold 0 (dropped)
+    assert th.loc["fr", "threshold_k"] == 0
+    assert th.loc["zh", "threshold_k"] == 0
+
+
+def test_mixture_sample_hits_proportions_and_caps(corpus):
+    from swingstream.operators.sampling import mixture_sample
+
+    got = mixture_sample(
+        corpus, ["lang"], "n_tok", {"en": 0.7, "de": 0.3},
+        total_budget=60_000,
+    ).toPandas()
+    by = got.groupby("lang")["n_tok"].sum()
+    assert set(by.index) <= {"en", "de"}
+    # achieved token mass ~ targets (binomial noise; each stratum has
+    # ~1000 docs of ~100 tokens -> 3 sigma ~ 12%)
+    assert abs(by["en"] - 42_000) < 0.15 * 42_000
+    assert abs(by["de"] - 18_000) < 0.2 * 18_000
+    # a share larger than the stratum caps at keep-everything
+    capped = mixture_sample(
+        corpus, ["lang"], "n_tok", {"zh": 1.0},
+        total_budget=10_000_000,
+    ).toPandas()
+    assert len(capped) == 1000  # all zh docs kept, nothing invented
+    # determinism
+    g2 = mixture_sample(
+        corpus, ["lang"], "n_tok", {"en": 0.7, "de": 0.3},
+        total_budget=60_000,
+    ).toPandas()
+    assert sorted(g2["doc_id"]) == sorted(got["doc_id"])
+
+
+def test_mixture_rejects_bad_proportions(corpus):
+    from swingstream.operators.sampling import mixture_thresholds
+
+    with pytest.raises(ValueError, match="not in"):
+        mixture_thresholds(corpus, ["lang"], "n_tok", {"en": 1.2}, 1000)
