@@ -31,6 +31,13 @@ STOP_EN = T.STOPWORDS["en"]
 
 def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # driver-owned sessions don't go through swingstream.session — pin
+    # the same optimizer exclusion (see session.py: the inferred
+    # generate filter re-evaluates the whole n-gram build per row)
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

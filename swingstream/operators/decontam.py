@@ -79,16 +79,19 @@ def ngram_digest_table(
     one document counts once toward its contamination score — the
     standard "number of distinct leaked n-grams" metric.
 
-    The gram expression is exploded INLINE (not via a projected array
-    column): InferFiltersFromGenerate only fires on attribute inputs
-    (SPARK-33544) and its inferred size() pre-filter re-evaluates the
-    whole n-gram build per row — measured 2-6x slower on the bench
-    corpus for this plan family."""
-    toks = _norm_tokens(F.col(text_col), normalize)
+    Plan discipline (see dsir.hashed_gram_counts — measured 6-30x on
+    the bench corpus): token array materialized as a column (an inline
+    token expression re-tokenizes once per element inside the
+    interpreted gram lambda), gram expression exploded inline over the
+    attribute, InferFiltersFromGenerate excluded at the session."""
     return (
         docs.select(
             F.col(id_col).alias("id"),
-            F.explode(_ngram_strings(toks, n)).alias("_g"),
+            _norm_tokens(F.col(text_col), normalize).alias("_toks"),
+        )
+        .select(
+            "id",
+            F.explode(_ngram_strings(F.col("_toks"), n)).alias("_g"),
         )
         .select("id", F.xxhash64("_g").alias("digest"))
         .distinct()
@@ -104,11 +107,13 @@ def eval_digest_set(
     """The benchmark suite's distinct n-gram digest set — one column
     ``digest``.  Compute once per eval suite and reuse across corpus
     shards; at typical suite sizes (1e3-1e5 docs) this is megabytes.
-    Inline explode for the same InferFiltersFromGenerate reason as
+    Same materialized-tokens + inline-explode discipline as
     ngram_digest_table."""
-    toks = _norm_tokens(F.col(text_col), normalize)
     return (
-        eval_docs.select(F.explode(_ngram_strings(toks, n)).alias("_g"))
+        eval_docs.select(
+            _norm_tokens(F.col(text_col), normalize).alias("_toks")
+        )
+        .select(F.explode(_ngram_strings(F.col("_toks"), n)).alias("_g"))
         .select(F.xxhash64("_g").alias("digest"))
         .distinct()
     )

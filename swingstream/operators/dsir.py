@@ -61,8 +61,18 @@ def hashed_gram_counts(
     One bounded transform builds the gram array (unigrams plus the
     len-1 bigram windows), one explode, one hash-agg on the uniform
     (id, bucket) key — the corpus is touched exactly once and no string
-    survives past the xxhash64."""
-    toks = _tokens(F.col(text_col))
+    survives past the xxhash64.
+
+    Plan discipline (measured 6-30x on the 5k bench corpus, round 7):
+    the TOKEN array is materialized as a column (interpreted HOF lambdas
+    re-evaluate captured subexpressions per element — an inline token
+    expression re-tokenizes the doc once per element_at), the GRAM
+    expression is exploded inline over that attribute (never projected:
+    an inferred generate filter would alias-substitute through the
+    projection and rebuild everything per row below the exchange), and
+    swingstream sessions exclude InferFiltersFromGenerate outright
+    (session.py / contract._prep)."""
+    toks = F.col("_toks")
     grams = toks
     if bigrams:
         # guard: sequence(1, 0) DESCENDS in Spark, so a 0/1-token doc
@@ -77,12 +87,12 @@ def hashed_gram_counts(
             ),
         ).otherwise(F.array().cast("array<string>"))
         grams = F.concat(toks, bi)
-    # explode the gram expression INLINE: projecting it to a column
-    # first lets InferFiltersFromGenerate add a size()>0 pre-filter that
-    # re-evaluates the whole tokenize+bigram expression per row below
-    # the exchange — measured 6x slower on the 5k bench corpus
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        docs.select(
+            F.col(id_col).alias("id"),
+            _tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select("id", F.explode(grams).alias("gram"))
         .select(
             "id",
             F.pmod(F.xxhash64("gram", F.lit(salt)), F.lit(n_buckets))

@@ -120,11 +120,11 @@ def boilerplate_ngrams(
     profile as a word-count; top-k compiles to TakeOrderedAndProject,
     so no global sort ever materializes.
     """
-    # inline explode of the guarded gram expression — a projected array
-    # column would trip InferFiltersFromGenerate's size() pre-filter,
-    # which re-evaluates the whole n-gram build per row (SPARK-33544
-    # limits the rule to attributes; measured 2-6x on the bench corpus)
-    toks = _tokens(F.col(text_col))
+    # materialized tokens + inline gram explode (see dsir's plan
+    # discipline note: an inline token expression re-tokenizes per
+    # element inside the interpreted gram lambda; a projected gram
+    # array trips the inferred generate filter — both measured 2-30x)
+    toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -135,7 +135,8 @@ def boilerplate_ngrams(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(id_col, F.explode(grams).alias("ngram"))
+        docs.select(id_col, _tokens(F.col(text_col)).alias("_toks"))
+        .select(id_col, F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(
             F.count_distinct(id_col).cast("long").alias("n_docs"),

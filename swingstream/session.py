@@ -48,6 +48,18 @@ def get_spark(
         # the sink's per-partition event-time lineage reads footer stats
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+        # InferFiltersFromGenerate re-evaluates a projected generator
+        # input below the exchange (alias-substituted through the
+        # projection) — for this engine's n-gram explodes the inferred
+        # size() filter costs a FULL second tokenize+gram build per row
+        # and never prunes anything the explode wouldn't (measured 6-30x
+        # on the gram operators, round 7).  contract._prep sets the same
+        # exclusion on the driver-owned session.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         # RocksDB state store (prod pin): large per-host state spills off
         # heap, changelog checkpointing bounds commit latency — and
         # transformWithStateInPandas (T5 modern form) REQUIRES RocksDB
