@@ -459,6 +459,10 @@ def run_corpus_stream_with_compaction(
     binpack_every: int = 0,
     binpack_min_rows: int = 100_000,
     final_strip_lines_max_docs: int | None = None,
+    digest_index_root: str | None = None,
+    digest_expr=None,
+    index_buckets: int = 64,
+    index_compact_every: int = 0,
 ) -> IcebergLiteTable:
     """Append a streaming document DataFrame to an IcebergLite corpus
     with a dedup compaction every ``every`` commits (plus one final pass
@@ -515,6 +519,19 @@ def run_corpus_stream_with_compaction(
     state equals the one-shot batch ``gate -> dedup_survivors ->
     line_dedup`` chain.
 
+    ``digest_index_root`` turns on ingest-time HISTORY-WIDE exact dedup
+    (streaming/index.py): each micro-batch — after the gate — is
+    first deduplicated within itself (min-``id_col`` survivor per
+    digest, the exact_duplicates keep rule), then anti-joined against
+    the persistent bucket-partitioned DigestIndex, and only
+    never-seen-before documents are committed; the survivors' digests
+    land in the index under the SAME batch_id, corpus first / index
+    second (the crash-safe order — see the index module docstring).
+    ``digest_expr`` defaults to ``md5(text)``; the manifest records
+    ``rows_rejected_index``.  ``index_compact_every`` bounds the index
+    file count with a periodic per-bucket bin-pack, mirroring
+    ``binpack_every`` on the corpus.
+
     foreachBatch runs batches serially, so the between-trigger batch
     compactions never race an append; every maintenance commit id is
     pinned to the triggering batch_id for exactly-once under retries.
@@ -534,6 +551,61 @@ def run_corpus_stream_with_compaction(
     pf = pair_fn if pair_fn is not None else (
         lambda d: exact_dup_pairs(d, id_col=id_col)
     )
+    index = None
+    if digest_index_root is not None:
+        from swingstream.streaming.index import DigestIndex
+
+        index = DigestIndex(digest_index_root, n_buckets=index_buckets)
+        dig_expr = digest_expr if digest_expr is not None else F.md5("text")
+
+    def commit_admitted(batch_id, frame: DataFrame, extra: dict) -> None:
+        """Corpus commit, optionally behind the history-wide digest
+        index.  CORPUS FIRST, INDEX SECOND under one batch_id: a crash
+        between the two replays into a corpus no-op + the missing index
+        commit; the reverse order would let the replayed anti-join drop
+        the batch's own rows (index.py module docstring)."""
+        if index is None:
+            table.commit(batch_id, frame, extra_metrics=extra or None)
+            return
+        from pyspark.sql.window import Window
+
+        digested = frame.withColumn("_di_digest", dig_expr)
+        # within-batch survivor: min id_col per digest — the same keep
+        # rule as operators.dedup.exact_duplicates, so stream == batch
+        first = (
+            digested.withColumn(
+                "_di_rn",
+                F.row_number().over(
+                    Window.partitionBy("_di_digest").orderBy(id_col)
+                ),
+            )
+            .where(F.col("_di_rn") == 1)
+            .drop("_di_rn")
+        )
+        # filter_new reads `first` twice (bucket ids + anti-join) and the
+        # commit reads it again — pin it once
+        first.persist()
+        try:
+            survivors = index.filter_new(first, "_di_digest").persist()
+            try:
+                n_first = first.count()
+                n_surv = survivors.count()
+                table.commit(
+                    batch_id,
+                    survivors.drop("_di_digest"),
+                    extra_metrics={
+                        **extra,
+                        "rows_rejected_index": n_first - n_surv,
+                    },
+                )
+                index.commit(
+                    batch_id,
+                    survivors.select(F.col("_di_digest").alias("digest")),
+                )
+            finally:
+                survivors.unpersist()
+        finally:
+            first.unpersist()
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if gate_fn is not None:
@@ -553,10 +625,10 @@ def run_corpus_stream_with_compaction(
             try:
                 n_in = batch_df.count()
                 n_adm = admitted.count()
-                table.commit(
+                commit_admitted(
                     batch_id, admitted,
-                    extra_metrics={"rows_in_gate": n_in,
-                                   "rows_rejected_gate": n_in - n_adm},
+                    {"rows_in_gate": n_in,
+                     "rows_rejected_gate": n_in - n_adm},
                 )
                 if quarantine is not None:
                     quarantine.commit(
@@ -569,7 +641,11 @@ def run_corpus_stream_with_compaction(
                     base.unpersist()
                 batch_df.unpersist()
         else:
-            table.commit(batch_id, batch_df)
+            commit_admitted(batch_id, batch_df, {})
+        if index is not None and index_compact_every > 0 and (
+            batch_id + 1
+        ) % index_compact_every == 0:
+            index.compact(spark, f"index-binpack-{batch_id}")
         if every > 0 and (batch_id + 1) % every == 0:
             compact_dedup(spark, table, pf, id_col=id_col,
                           compaction_id=f"compact-{batch_id}",

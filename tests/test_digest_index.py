@@ -1,0 +1,221 @@
+"""DigestIndex: history-wide ingest dedup (streaming/index.py).
+
+Pins: bucket-partition pruning (a probe lists only the touched buckets'
+files), idempotent ledger commits, per-bucket bin-pack compaction, the
+crash-safe corpus-first/index-second ordering, and stream == one-shot
+batch parity through run_corpus_stream_with_compaction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from swingstream.streaming.index import DigestIndex, digest_bucket
+
+
+def _docs(n: int, dup_of: dict[int, int] | None = None) -> pd.DataFrame:
+    """n docs with distinct texts except ``dup_of`` copies {i: j} (i>j)."""
+    texts = [f"doc body {i} " + "w " * (i % 7) for i in range(n)]
+    for i, j in (dup_of or {}).items():
+        texts[i] = texts[j]
+    return pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64), "text": texts}
+    )
+
+
+def test_index_commit_probe_filter_replay(spark, tmp_path):
+    idx = DigestIndex(str(tmp_path / "idx"), n_buckets=16)
+    b0 = spark.createDataFrame(_docs(20)).select(
+        F.md5("text").alias("digest")
+    )
+    m = idx.commit(0, b0)
+    assert m is not None and m["rows"] == 20
+    assert idx.commit(0, b0) is None  # replay no-op
+    assert idx.total_rows() == 20
+
+    # batch 1: 10 re-crawls of batch 0 + 10 fresh docs
+    batch = spark.createDataFrame(
+        _docs(30)
+    ).withColumn("digest", F.md5("text")).where(F.col("doc_id") >= 10)
+    fresh = idx.filter_new(batch, "digest")
+    assert sorted(r["doc_id"] for r in fresh.collect()) == list(range(20, 30))
+
+    idx.commit(1, fresh.select("digest"))
+    assert idx.total_rows() == 30
+    # nothing in batch 1 is new after its own commit
+    assert idx.filter_new(batch, "digest").count() == 0
+
+
+def test_index_partition_pruning(spark, tmp_path):
+    """files_for_buckets must restrict the probe to touched buckets —
+    the property that keeps a 10^12-row index readable per micro-batch."""
+    idx = DigestIndex(str(tmp_path / "idx"), n_buckets=32)
+    all_docs = spark.createDataFrame(_docs(400)).withColumn(
+        "digest", F.md5("text")
+    )
+    idx.commit(0, all_docs.select("digest"))
+
+    one = all_docs.where(F.col("doc_id") == 7).select("digest").first()
+    bucket = spark.range(1).select(
+        digest_bucket(F.lit(one["digest"]), 32).alias("b")
+    ).first()["b"]
+
+    pruned = idx.files_for_buckets([bucket])
+    everything = idx.files_for_buckets(range(32))
+    assert pruned and len(pruned) < len(everything)
+    assert all(f"bucket={bucket}/" in f for f in pruned)
+    # the pruned read still finds the digest
+    assert idx.probe(spark, [bucket]).where(
+        F.col("digest") == one["digest"]
+    ).count() == 1
+
+
+def test_index_compact_binpack(spark, tmp_path):
+    idx = DigestIndex(str(tmp_path / "idx"), n_buckets=8)
+    for b in range(5):
+        d = spark.createDataFrame(_docs(10)).select(
+            F.md5(F.concat_ws("#", F.lit(str(b)), "text")).alias("digest")
+        )
+        idx.commit(b, d)
+    n_files_before = len(idx.files_for_buckets(range(8)))
+    assert idx.total_rows() == 50
+
+    m = idx.compact(spark, "binpack-0")
+    assert m is not None and m["operation"] == "binpack"
+    assert idx.compact(spark, "binpack-0") is None  # replay no-op
+    files = idx.files_for_buckets(range(8))
+    assert len(files) < n_files_before
+    assert len(files) <= 8  # ≤ 1 file per bucket
+    assert idx.total_rows() == 50
+    assert len(idx.active_manifests()) == 1
+    # membership is unchanged by the rewrite
+    probe = idx.probe(spark, range(8))
+    assert probe.count() == 50
+
+
+def test_index_crash_between_corpus_and_index_commit(spark, tmp_path):
+    """The pinned commit ORDER (corpus first, index second) heals a
+    crash between the two into a corpus no-op + the missing index
+    commit; rows are never lost to the replayed anti-join."""
+    from swingstream.sources.catalog import IcebergLiteTable
+
+    idx = DigestIndex(str(tmp_path / "idx"), n_buckets=8)
+    table = IcebergLiteTable(str(tmp_path / "corpus"))
+
+    batch = spark.createDataFrame(_docs(10)).withColumn(
+        "digest", F.md5("text")
+    )
+    # attempt 1: corpus lands, CRASH before the index commit
+    survivors = idx.filter_new(batch, "digest")
+    table.commit(0, survivors.drop("digest"))
+
+    # replay (deterministic recompute): the index is unchanged, so the
+    # anti-join yields the same survivors; corpus commit no-ops; the
+    # index commit finally lands
+    survivors2 = idx.filter_new(batch, "digest")
+    assert survivors2.count() == 10
+    assert table.commit(0, survivors2.drop("digest")) is None
+    idx.commit(0, survivors2.select("digest"))
+
+    assert table.total_rows() == 10
+    assert idx.total_rows() == 10
+    # a later batch with the same content is now fully rejected
+    assert idx.filter_new(batch, "digest").count() == 0
+
+
+def test_stream_index_dedup_matches_one_shot_batch(spark, tmp_path):
+    """End-to-end: file stream → gate-less ingest behind the digest
+    index == one-shot batch exact dedup (min-doc_id survivor per md5),
+    with cross-batch re-crawls rejected at ADMISSION (zero duplicate
+    rows ever committed — no compaction needed), admission telemetry in
+    the manifests, and a re-drain of the same checkpoint a no-op."""
+    from swingstream.operators.dedup import exact_duplicates
+    from swingstream.streaming.compaction import (
+        run_corpus_stream_with_compaction,
+    )
+
+    # cross-batch re-crawls (originals land in earlier files/batches)
+    # plus one WITHIN-batch duplicate (44→43, both in file 4) exercising
+    # the in-batch min-id survivor stage ahead of the index anti-join
+    dup_of = {31: 5, 33: 5, 47: 2, 42: 7, 45: 11, 48: 30, 44: 43}
+    # the index rejects ONE row per (micro-batch, digest) pair whose
+    # digest first appeared in an earlier batch — 31/33 share a digest
+    # in one batch, so the in-batch survivor stage removes the second
+    # before it reaches the index
+    cross_batch = {
+        (i // 10, j) for i, j in dup_of.items() if i // 10 != j // 10
+    }
+    pdf = _docs(50, dup_of)
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    # 5 files in doc_id order → micro-batches are arrival-ordered
+    # prefixes, so first-batch-wins == global min-doc_id survivor
+    for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 5)):
+        pdf.iloc[chunk].to_parquet(d / f"part-{i:04d}.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    table = run_corpus_stream_with_compaction(
+        spark,
+        stream,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "ck"),
+        id_col="doc_id",
+        every=0,
+        final_compaction=False,
+        digest_index_root=str(tmp_path / "idx"),
+        index_buckets=16,
+        index_compact_every=2,
+    )
+
+    docs = spark.createDataFrame(pdf)
+    expected = sorted(
+        r["keep_id"]
+        for r in exact_duplicates(docs, "text", "doc_id").collect()
+    ) + sorted(
+        set(range(50)) - set(dup_of) - {j for j in dup_of.values()}
+    )
+    got = sorted(r["doc_id"] for r in table.read(spark).collect())
+    want = sorted(set(range(50)) - set(dup_of))
+    assert got == want
+    assert sorted(set(expected)) == want  # keep rule == exact_duplicates
+
+    # telemetry: index rejections are exactly the CROSS-batch re-crawls
+    # (the within-batch twin never reaches the index anti-join)
+    rejected = sum(
+        m["metrics"].get("rows_rejected_index", 0) for m in table.manifests()
+    )
+    assert rejected == len(cross_batch)
+
+    idx = DigestIndex(str(tmp_path / "idx"), n_buckets=16)
+    assert idx.total_rows() == len(want)
+    # the periodic bin-pack ran and membership survived it
+    assert any(
+        m["operation"] == "binpack" for m in idx.manifests()
+    )
+
+    # re-drain same checkpoint: availableNow replays nothing new
+    table2 = run_corpus_stream_with_compaction(
+        spark,
+        stream,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "ck"),
+        id_col="doc_id",
+        every=0,
+        final_compaction=False,
+        digest_index_root=str(tmp_path / "idx"),
+        index_buckets=16,
+    )
+    assert table2.total_rows() == len(want)
+
+
+def test_index_rejects_bucket_count_mismatch(tmp_path):
+    DigestIndex(str(tmp_path / "idx"), n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets"):
+        DigestIndex(str(tmp_path / "idx"), n_buckets=32)
