@@ -1701,6 +1701,96 @@ ORDER BY id_a, id_b
 """
 
 
+def q_docs_jaccard_pairs(spark, sf):
+    """r7 merge of q_docs_ngram_jaccard + q_docs_ngram_jaccard_lsh
+    (identical operator coverage — exact lang-blocked token-Jaccard AND
+    its MinHash-band scale path — in one hash-checked result with a
+    ``mode`` discriminator; the standalone fns stay defined for the
+    frozen bench headline).  Slot freed for the oracle-backed
+    q_docs_window_dedup."""
+    merged = q_docs_ngram_jaccard(spark, sf).withColumn(
+        "mode", F.lit("exact")
+    ).unionByName(
+        q_docs_ngram_jaccard_lsh(spark, sf).withColumn("mode", F.lit("lsh"))
+    )
+    return merged.select("mode", "id_a", "id_b", "jaccard").orderBy(
+        "mode", "id_a", "id_b"
+    )
+
+
+SQL_DOCS_JACCARD_PAIRS = f"""
+SELECT 'exact' AS mode, * FROM ({SQL_NGRAM_JACCARD.replace("ORDER BY id_a, id_b", "")})
+UNION ALL
+SELECT 'lsh' AS mode, * FROM ({SQL_NGRAM_JACCARD_LSH.replace("ORDER BY id_a, id_b", "")})
+ORDER BY mode, id_a, id_b
+"""
+
+
+def q_docs_window_dedup(spark, sf):
+    """ExactSubstr-flavored repeated token-window dedup (Lee et al.
+    2022 §4.1, relational recast — operators/dedup.py window_dedup):
+    every 8-token window string occurring more than once in the corpus
+    keeps only its globally-first (min doc_id, pos) occurrence; later
+    occurrences' spans are cut and the surviving tokens reassembled in
+    order.  DuckDB replays the WHOLE pipeline from raw text with no
+    staged intermediates: tokenize → window md5 → keep-first survivor
+    rule → cut-position set algebra → ordered reassembly."""
+    _prep(spark)
+    from swingstream.operators.dedup import window_dedup
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return window_dedup(d, k=8, id_col="doc_id").orderBy("doc_id")
+
+
+SQL_DOCS_WINDOW_DEDUP = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS ls,
+         text
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, (u.i - 1)::BIGINT AS pos,
+         md5(array_to_string(ls[u.i : u.i + 7], ' ')) AS digest
+  FROM tok, UNNEST(range(1, len(ls) - 8 + 2)) AS u(i)
+),
+marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY digest ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY digest) AS n
+  FROM occ
+),
+cutr AS (
+  SELECT DISTINCT doc_id, pos + u.j - 1 AS p
+  FROM marked, UNNEST(range(1, 9)) AS u(j) WHERE n > 1 AND rn > 1
+),
+cutp AS (
+  SELECT DISTINCT doc_id, pos + u.j - 1 AS p
+  FROM marked, UNNEST(range(1, 9)) AS u(j) WHERE n > 1 AND rn = 1
+),
+cut AS (SELECT doc_id, p FROM cutr ANTI JOIN cutp USING (doc_id, p)),
+affected AS (SELECT DISTINCT doc_id FROM cut),
+toks2 AS (
+  SELECT t.doc_id, u.i - 1 AS p, t.ls[u.i] AS tok
+  FROM (SELECT tok.* FROM tok SEMI JOIN affected USING (doc_id)) t,
+       UNNEST(range(1, len(t.ls) + 1)) AS u(i)
+),
+keptt AS (SELECT * FROM toks2 ANTI JOIN cut USING (doc_id, p)),
+newt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ntext
+  FROM keptt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN a.doc_id IS NOT NULL THEN coalesce(n.ntext, '')
+            ELSE d.text END AS text
+FROM documents d
+LEFT JOIN affected a USING (doc_id)
+LEFT JOIN newt n USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_docs_neardup_clusters(spark, sf):
     """Near-dup cluster canonicalization: minhash-LSH pairs (staged) →
     connected components → (id, cluster_id=min member).  DuckDB replays
@@ -2535,11 +2625,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # on the oracle-backed q_docs_dsir below
     "q_docs_content_ids": q_docs_content_ids,
     "q_docs_dsir": q_docs_dsir,
-    "q_docs_ngram_jaccard": q_docs_ngram_jaccard,
+    # r7: q_docs_ngram_jaccard+q_docs_ngram_jaccard_lsh merged (exact
+    # and LSH-blocked token-Jaccard pair tables share one schema; a
+    # mode column keeps both hash-checked; standalone fns stay for the
+    # frozen bench headline) — slot spent promoting the oracle-backed
+    # ExactSubstr-style q_docs_window_dedup
+    "q_docs_jaccard_pairs": q_docs_jaccard_pairs,
     "q_emb_topk": q_emb_topk,
     "q_emb_neardup": q_emb_neardup,
     "q_docs_minhash_lsh": q_docs_minhash_lsh,
-    "q_docs_ngram_jaccard_lsh": q_docs_ngram_jaccard_lsh,
+    "q_docs_window_dedup": q_docs_window_dedup,
     "q_docs_neardup_clusters": q_docs_neardup_clusters,
     "q_docs_survivors": q_docs_survivors,
     "q_docs_simhash": q_docs_simhash,
@@ -2606,14 +2701,14 @@ ORACLES: dict[str, str] = {
     "q_docs_quality_clf": SQL_DOCS_QUALITY_CLF,
     "q_docs_content_ids": SQL_DOCS_CONTENT_IDS,
     "q_docs_dsir": SQL_DOCS_DSIR,
-    "q_docs_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "q_docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,
+    "q_docs_window_dedup": SQL_DOCS_WINDOW_DEDUP,
     "q_emb_topk": SQL_EMB_TOPK,
     "q_emb_neardup": SQL_EMB_NEARDUP,
     "q_media_meta": SQL_MEDIA_META,
     "q_na_drop": SQL_NA_DROP,
     "q_roc_curve": SQL_ROC_CURVE,
     "q_docs_minhash_lsh": SQL_MINHASH_LSH,
-    "q_docs_ngram_jaccard_lsh": SQL_NGRAM_JACCARD_LSH,
     "q_docs_neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "q_docs_survivors": SQL_DOCS_SURVIVORS,
     "q_docs_simhash": SQL_SIMHASH,

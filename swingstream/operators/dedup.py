@@ -761,3 +761,218 @@ def line_dedup(
         docs.join(new_text, docs[id_col] == new_text["_ld_id"], "left")
         .select(*out_cols)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document TOKEN-WINDOW dedup — ExactSubstr-flavored repeated-span
+# removal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+# Models Better", §4.1).  Line dedup (above) only catches repetition that
+# happens to align with '\n' boundaries; a syndicated paragraph pasted
+# mid-line, a quoted chain letter, or a template sentence woven into
+# running text repeats at TOKEN granularity.  The reference algorithm
+# builds a corpus-wide suffix array and keeps one copy of every
+# duplicated span ≥ 50 BPE tokens; the relational recast here detects
+# duplication through fixed-length token windows (k consecutive tokens,
+# the span threshold) — any repeated span of ≥ k tokens contains at
+# least one repeated k-window, so detection is equivalent at k-token
+# resolution, and removal proceeds window-by-window.
+#
+# Scale shape (the suffix array is the thing that does NOT distribute):
+# one Arrow-vectorized digest kernel per doc (NARROW — tokens never
+# cross a shuffle; only 32-char window digests do), one digest-keyed
+# hash aggregate to find repeats (word-count shape, md5 avalanche key),
+# then cut-position set algebra and per-doc bounded reassembly joins
+# that touch ONLY affected docs (targeted, O(docs containing repeats)).
+# All md5-based, so a DuckDB oracle replays the whole pipeline from raw
+# text with no staged intermediates (tests/test_window_dedup.py).
+# ---------------------------------------------------------------------------
+
+
+def window_digest_kernel(k: int, sample_p: int = 1):
+    """Arrow kernel: text → (pos, digest) structs — md5 hex of every
+    k-token window, mod-p SAMPLED.  Tokenization is trim +
+    whitespace-split + drop-empties — pinned to match
+    ``F.split(F.trim(c), r"\\s+")`` with empty filter (Spark) and
+    ``list_filter(string_split_regex(trim(t), '\\s+'), x -> x <> '')``
+    (DuckDB) exactly, so all three engines digest identical window
+    strings.  Docs shorter than k tokens emit no windows (nothing a
+    k-span dedup could remove).
+
+    ``sample_p`` ∈ {1, 2, 4, 8, 16} keeps the ~1/p of windows whose
+    digest's LAST HEX NIBBLE is < 16/p — Manber's 0-mod-p fingerprint
+    sampling ("Finding Similar Files", USENIX 1994).  Selection is
+    CONTENT-defined, so two copies of a span select the same windows
+    wherever they sit (a fixed stride cannot: window phases in two docs
+    may never align, silently missing every repeat).  A repeated span
+    with m = L−k+1 windows is detected with probability 1−(1−1/p)^m —
+    at the reference's k=50-token spans and p=8, a 100-token repeat is
+    caught with p ≈ 0.999.  The sampling divides the DOWNSTREAM explode
+    + shuffle volume by p (the scale knob — the narrow kernel's md5
+    cost per window, ~1 µs C-backed, is not the bottleneck; the
+    occurrence shuffle is).
+    """
+    if sample_p not in (1, 2, 4, 8, 16):
+        raise ValueError("sample_p must be one of 1, 2, 4, 8, 16")
+    keep_below = 16 // sample_p
+    allowed = set("0123456789abcdef"[:keep_below])
+    import hashlib
+    import re
+
+    @F.pandas_udf("array<struct<pos: long, digest: string>>")
+    def kern(texts: pd.Series) -> pd.Series:
+        ws = re.compile(r"\s+")
+        out = []
+        for t in texts:
+            toks = [w for w in ws.split((t or "").strip()) if w]
+            n = len(toks)
+            if n < k:
+                out.append([])
+                continue
+            wins = []
+            for i in range(0, n - k + 1):
+                dg = hashlib.md5(
+                    " ".join(toks[i : i + k]).encode("utf-8")
+                ).hexdigest()
+                if dg[-1] in allowed:
+                    wins.append((i, dg))
+            out.append(wins)
+        return pd.Series(out)
+
+    return kern
+
+
+def window_occurrences(
+    docs: DataFrame,
+    k: int = 8,
+    sample_p: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(_wd_id, pos, digest) — one row per SELECTED k-token window
+    occurrence; ``pos`` is the 0-based token index of the window start.
+    The explode is inline with the kernel call (generator input stays
+    an expression, not a projected attribute — the
+    InferFiltersFromGenerate discipline, see session.py)."""
+    kern = window_digest_kernel(k, sample_p)
+    return docs.select(
+        F.col(id_col).alias("_wd_id"),
+        F.explode(kern(F.col(text_col))).alias("w"),
+    ).select(
+        "_wd_id",
+        F.col("w.pos").alias("pos"),
+        F.col("w.digest").alias("digest"),
+    )
+
+
+def window_dedup(
+    docs: DataFrame,
+    k: int = 8,
+    sample_p: int = 1,
+    mode: str = "keep_first",
+    max_docs_per_window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove repeated k-token windows from every document, reassembling
+    the surviving tokens in order (all other columns pass through; a doc
+    losing every token keeps an empty string, same contract as
+    ``line_dedup``).
+
+    ``mode="keep_first"`` (ExactSubstr semantics): a window string
+    occurring more than once in the corpus keeps ONLY its globally
+    first occurrence — min (id, pos) — and every other occurrence's
+    token span is cut.  Tokens covered by BOTH a surviving occurrence
+    and a cut occurrence are protected (self-overlapping repeats like
+    "w w w w" would otherwise mangle the kept copy).  Deterministic for
+    any input ordering: the survivor rule is a total order, not arrival
+    luck.
+
+    ``mode="frequent"`` (boilerplate semantics, the window-granular twin
+    of ``line_dedup``): windows appearing in more than
+    ``max_docs_per_window`` DISTINCT docs are boilerplate and every
+    occurrence is cut — nothing is kept, matching how nav/cookie/footer
+    text should vanish entirely.
+
+    Shape: kernel (narrow) → digest hash-agg → cut-position set algebra
+    (equi-joins on (_wd_id, pos), explode bounded by cut spans) → ONE
+    semi-join restricting the posexplode+reassembly rewrite to affected
+    docs only — an untouched doc's text bytes are never re-derived.
+    """
+    if mode not in ("keep_first", "frequent"):
+        raise ValueError(f"unknown mode {mode!r}")
+    occ = window_occurrences(docs, k, sample_p, text_col, id_col)
+
+    if mode == "frequent":
+        bad = (
+            occ.groupBy("digest")
+            .agg(F.count_distinct("_wd_id").alias("n_docs"))
+            .where(F.col("n_docs") > max_docs_per_window)
+            .select("digest")
+        )
+        removed = occ.join(bad, "digest")
+        protected = None
+    else:
+        groups = (
+            occ.groupBy("digest")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.struct("_wd_id", "pos")).alias("keep"),
+            )
+            .where(F.col("n") > 1)
+            .select("digest", "keep")
+        )
+        hits = occ.join(groups, "digest")
+        is_keep = (F.col("_wd_id") == F.col("keep._wd_id")) & (
+            F.col("pos") == F.col("keep.pos")
+        )
+        removed = hits.where(~is_keep)
+        protected = hits.where(is_keep)
+
+    span = lambda d: d.select(  # noqa: E731 — window span → token positions
+        "_wd_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
+            "pos"
+        ),
+    ).distinct()
+    cut = span(removed)
+    if protected is not None:
+        cut = cut.join(span(protected), ["_wd_id", "pos"], "left_anti")
+
+    affected = cut.select("_wd_id").distinct().withColumn("_wd_hit", F.lit(True))
+
+    toks_expr = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.length(x) > 0
+    )
+    tok_rows = (
+        docs.join(
+            affected.withColumnRenamed("_wd_id", id_col).select(id_col),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("_wd_id"),
+            F.posexplode(toks_expr).alias("pos", "tok"),
+        )
+    )
+    kept = tok_rows.join(cut, ["_wd_id", "pos"], "left_anti")
+    new_text = kept.groupBy("_wd_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("_wd_text")
+    )
+    rewritten = affected.join(new_text, "_wd_id", "left")
+    out_cols = [
+        F.when(F.col("_wd_hit"), F.coalesce("_wd_text", F.lit("")))
+        .otherwise(F.col(text_col))
+        .alias(text_col)
+        if c == text_col
+        else F.col(c)
+        for c in docs.columns
+    ]
+    return docs.join(
+        rewritten, docs[id_col] == rewritten["_wd_id"], "left"
+    ).select(*out_cols)
