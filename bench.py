@@ -128,7 +128,7 @@ def _curation_extras(spark):
     from pyspark.sql import functions as F
 
     from swingstream.operators.decontam import decontaminate
-    from swingstream.operators.dedup import line_dedup
+    from swingstream.operators.dedup import line_dedup, window_dedup
     from swingstream.operators.dsir import dsir_select
     from swingstream.operators.packing import materialize_blocks, pack_blocks
     from swingstream.operators.quality_clf import (
@@ -187,6 +187,10 @@ def _curation_extras(spark):
         # is the corpus-wide scoring pass, the part that scales)
         "q_docs_quality_clf_5k": lambda: quality_clf_scores(
             docs(), _qclf_model()),
+        # r7: ExactSubstr-style token-window dedup (keep-first, mod-4
+        # sampled windows — the scale configuration)
+        "q_docs_window_dedup_5k": lambda: window_dedup(
+            docs(), k=8, sample_p=4),
     }
 
 

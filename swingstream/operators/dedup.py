@@ -900,7 +900,10 @@ def window_dedup(
     """
     if mode not in ("keep_first", "frequent"):
         raise ValueError(f"unknown mode {mode!r}")
-    occ = window_occurrences(docs, k, sample_p, text_col, id_col)
+    # the kernel output is consumed by two plan branches (the group
+    # profile and the join probe) — persist so the md5 pass over the
+    # corpus runs ONCE, the same discipline as the LSH signature tables
+    occ = window_occurrences(docs, k, sample_p, text_col, id_col).persist()
 
     if mode == "frequent":
         bad = (
@@ -909,8 +912,10 @@ def window_dedup(
             .where(F.col("n_docs") > max_docs_per_window)
             .select("digest")
         )
-        removed = occ.join(bad, "digest")
-        protected = None
+        # boilerplate windows are cut everywhere: no survivor flag
+        marked = occ.join(bad, "digest").withColumn(
+            "_wd_keep", F.lit(False)
+        )
     else:
         groups = (
             occ.groupBy("digest")
@@ -921,22 +926,34 @@ def window_dedup(
             .where(F.col("n") > 1)
             .select("digest", "keep")
         )
-        hits = occ.join(groups, "digest")
-        is_keep = (F.col("_wd_id") == F.col("keep._wd_id")) & (
-            F.col("pos") == F.col("keep.pos")
+        marked = occ.join(groups, "digest").select(
+            "_wd_id",
+            "pos",
+            (
+                (F.col("_wd_id") == F.col("keep._wd_id"))
+                & (F.col("pos") == F.col("keep.pos"))
+            ).alias("_wd_keep"),
         )
-        removed = hits.where(~is_keep)
-        protected = hits.where(is_keep)
 
-    span = lambda d: d.select(  # noqa: E731 — window span → token positions
-        "_wd_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
-            "pos"
-        ),
-    ).distinct()
-    cut = span(removed)
-    if protected is not None:
-        cut = cut.join(span(protected), ["_wd_id", "pos"], "left_anti")
+    # ONE pass computes the cut set: a token position is cut iff it is
+    # covered by some repeated-window occurrence and by NO surviving
+    # occurrence (max(_wd_keep) == false) — the survivor-protection
+    # anti-join collapsed into an aggregate.  `cut` is small (≤ repeated
+    # span tokens) and consumed by three branches — persist it.
+    cut = (
+        marked.select(
+            "_wd_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("pos"),
+            "_wd_keep",
+        )
+        .groupBy("_wd_id", "pos")
+        .agg(F.max("_wd_keep").alias("_k"))
+        .where(~F.col("_k"))
+        .select("_wd_id", "pos")
+        .persist()
+    )
 
     affected = cut.select("_wd_id").distinct().withColumn("_wd_hit", F.lit(True))
 
