@@ -864,7 +864,7 @@ def window_occurrences(
     )
 
 
-def window_dedup(
+def window_cut_positions(
     docs: DataFrame,
     k: int = 8,
     sample_p: int = 1,
@@ -873,31 +873,12 @@ def window_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Remove repeated k-token windows from every document, reassembling
-    the surviving tokens in order (all other columns pass through; a doc
-    losing every token keeps an empty string, same contract as
-    ``line_dedup``).
-
-    ``mode="keep_first"`` (ExactSubstr semantics): a window string
-    occurring more than once in the corpus keeps ONLY its globally
-    first occurrence — min (id, pos) — and every other occurrence's
-    token span is cut.  Tokens covered by BOTH a surviving occurrence
-    and a cut occurrence are protected (self-overlapping repeats like
-    "w w w w" would otherwise mangle the kept copy).  Deterministic for
-    any input ordering: the survivor rule is a total order, not arrival
-    luck.
-
-    ``mode="frequent"`` (boilerplate semantics, the window-granular twin
-    of ``line_dedup``): windows appearing in more than
-    ``max_docs_per_window`` DISTINCT docs are boilerplate and every
-    occurrence is cut — nothing is kept, matching how nav/cookie/footer
-    text should vanish entirely.
-
-    Shape: kernel (narrow) → digest hash-agg → cut-position set algebra
-    (equi-joins on (_wd_id, pos), explode bounded by cut spans) → ONE
-    semi-join restricting the posexplode+reassembly rewrite to affected
-    docs only — an untouched doc's text bytes are never re-derived.
-    """
+    """The (persisted) cut set (_wd_id, pos) of ``window_dedup`` —
+    exposed separately so the compaction pass can compute it once over
+    the FULL active snapshot and feed the targeted rewrite
+    (streaming/compaction.py compact_window_dedup), exactly like the
+    boilerplate-line profile.  Semantics of the two modes are documented
+    on ``window_dedup``."""
     if mode not in ("keep_first", "frequent"):
         raise ValueError(f"unknown mode {mode!r}")
     # the kernel output is consumed by two plan branches (the group
@@ -954,6 +935,54 @@ def window_dedup(
         .select("_wd_id", "pos")
         .persist()
     )
+    return cut
+
+
+def window_dedup(
+    docs: DataFrame,
+    k: int = 8,
+    sample_p: int = 1,
+    mode: str = "keep_first",
+    max_docs_per_window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cut: DataFrame | None = None,
+) -> DataFrame:
+    """Remove repeated k-token windows from every document, reassembling
+    the surviving tokens in order (all other columns pass through; a doc
+    losing every token keeps an empty string, same contract as
+    ``line_dedup``).
+
+    ``mode="keep_first"`` (ExactSubstr semantics): a window string
+    occurring more than once in the corpus keeps ONLY its globally
+    first occurrence — min (id, pos) — and every other occurrence's
+    token span is cut.  Tokens covered by BOTH a surviving occurrence
+    and a cut occurrence are protected (self-overlapping repeats like
+    "w w w w" would otherwise mangle the kept copy).  Deterministic for
+    any input ordering: the survivor rule is a total order, not arrival
+    luck.
+
+    ``mode="frequent"`` (boilerplate semantics, the window-granular twin
+    of ``line_dedup``): windows appearing in more than
+    ``max_docs_per_window`` DISTINCT docs are boilerplate and every
+    occurrence is cut — nothing is kept, matching how nav/cookie/footer
+    text should vanish entirely.
+
+    ``cut`` overrides the cut set — the targeted compaction path
+    computes it once over the FULL active snapshot
+    (``window_cut_positions``) and rewrites only affected commits with
+    it; cut rows for docs absent from ``docs`` are inert (the final
+    left join is driven by ``docs``).
+
+    Shape: kernel (narrow) → digest hash-agg → cut-position set algebra
+    (equi-joins on (_wd_id, pos), explode bounded by cut spans) → ONE
+    semi-join restricting the posexplode+reassembly rewrite to affected
+    docs only — an untouched doc's text bytes are never re-derived.
+    """
+    if cut is None:
+        cut = window_cut_positions(
+            docs, k, sample_p, mode, max_docs_per_window, text_col, id_col
+        )
 
     affected = cut.select("_wd_id").distinct().withColumn("_wd_hit", F.lit(True))
 

@@ -377,6 +377,100 @@ def compact_strip_lines(
     return manifest
 
 
+def compact_window_dedup(
+    spark: SparkSession,
+    table: IcebergLiteTable,
+    k: int = 8,
+    sample_p: int = 1,
+    mode: str = "keep_first",
+    max_docs_per_window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    compaction_id: str | None = None,
+) -> dict | None:
+    """Token-window (ExactSubstr-style) dedup as a maintenance pass
+    (operators/dedup.window_dedup) — the same commutation pin as
+    ``compact_strip_lines``: which window occurrence is the corpus-wide
+    FIRST (keep_first) or how many docs share a window (frequent) are
+    per-corpus statistics, so the cut set must be computed over the
+    drained snapshot, never inside a micro-batch gate.
+
+    Targeted rewrite: ``window_cut_positions`` runs once over the FULL
+    active snapshot (cut set ≤ repeated-span tokens), affected docs are
+    attributed to their commit via ``_metadata.file_path``, and only
+    cut-bearing commits are rewritten with ``window_dedup(cut=...)`` —
+    identical text to a whole-corpus pass, O(affected data) rewrite
+    cost.  A cut set that touches nothing commits nothing.  Same
+    intent-sidecar crash/retry machinery as the other passes.
+    """
+    from swingstream.operators.dedup import (
+        window_cut_positions,
+        window_dedup,
+    )
+
+    active = table.active_manifests()
+    if not active:
+        return None
+    cid = compaction_id or f"windowdedup-adhoc-{len(table.manifests())}"
+    if table.committed(cid):
+        return None
+
+    docs = table.read(spark)
+    cut = window_cut_positions(
+        docs, k, sample_p, mode, max_docs_per_window, text_col, id_col
+    ).localCheckpoint(eager=True)  # drives the affected probe AND the
+    # rewrite; small (only repeated-span positions survive)
+
+    by_dir = {_commit_dir_label(m["batch_id"]): m for m in active}
+    tagged = docs.select(
+        "*",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -2
+        ).alias("_cdir"),
+    )
+    hit_dirs = sorted(
+        r["_cdir"]
+        for r in tagged.join(
+            cut.select(F.col("_wd_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        .select("_cdir")
+        .distinct()
+        .collect()
+    )
+    if not hit_dirs:
+        return None
+    replaces = [by_dir[d]["batch_id"] for d in hit_dirs]
+    rewritten = window_dedup(
+        tagged.where(F.col("_cdir").isin(hit_dirs)).drop("_cdir"),
+        k, sample_p, mode, max_docs_per_window, text_col, id_col,
+        cut=cut,
+    )
+    _guard_and_record_intent(
+        table, cid, replaces, [str(m["batch_id"]) for m in active],
+        "window-dedup", True,
+    )
+    manifest = table.commit(
+        cid,
+        rewritten,
+        operation="window-dedup-compaction",
+        replaces=replaces,
+        extra_metrics={
+            "rows_in": sum(by_dir[d]["metrics"]["rows"] for d in hit_dirs),
+            "input_commits": len(hit_dirs),
+            "scope": "window-dedup",
+            "k": k,
+            "sample_p": sample_p,
+            "mode": mode,
+        },
+    )
+    if manifest is None:  # not assert: survives python -O (see compact_dedup)
+        raise RuntimeError(f"window-dedup {cid} raced a concurrent commit")
+    _clear_intent(table, cid)
+    return manifest
+
+
 def compact_small_files(
     spark: SparkSession,
     table: IcebergLiteTable,
@@ -459,6 +553,7 @@ def run_corpus_stream_with_compaction(
     binpack_every: int = 0,
     binpack_min_rows: int = 100_000,
     final_strip_lines_max_docs: int | None = None,
+    final_window_dedup_k: int | None = None,
     digest_index_root: str | None = None,
     digest_expr=None,
     index_buckets: int = 64,
@@ -518,6 +613,12 @@ def run_corpus_stream_with_compaction(
     exactly once over the drained, deduplicated snapshot — the end
     state equals the one-shot batch ``gate -> dedup_survivors ->
     line_dedup`` chain.
+
+    ``final_window_dedup_k`` additionally runs one ``compact_window_dedup``
+    pass after the line strip: the keep-first survivor of a repeated
+    k-token window is a per-corpus statistic (same commutation argument
+    as line dedup), so ExactSubstr-style span removal runs exactly once
+    over the drained snapshot.
 
     ``digest_index_root`` turns on ingest-time HISTORY-WIDE exact dedup
     (streaming/index.py): each micro-batch — after the gate — is
@@ -686,5 +787,13 @@ def run_corpus_stream_with_compaction(
                 id_col=id_col,
                 compaction_id=f"striplines-final-{max(appends)}"
                 if appends else "striplines-final",
+            )
+        if final_window_dedup_k is not None:
+            compact_window_dedup(
+                spark, table,
+                k=final_window_dedup_k,
+                id_col=id_col,
+                compaction_id=f"windowdedup-final-{max(appends)}"
+                if appends else "windowdedup-final",
             )
     return table

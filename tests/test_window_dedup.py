@@ -12,6 +12,7 @@ reassembly) on the realistic Zipf corpus.
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -204,3 +205,99 @@ def test_duckdb_replays_window_dedup_end_to_end(spark, sample_p):
     want = _duck_replay(pdf, k=8, sample_p=sample_p)
     assert (got["text"] != pdf["text"]).any(), "fixture must contain repeats"
     pd.testing.assert_frame_equal(got, want[got.columns])
+
+
+def test_compact_window_dedup_targeted_and_parity(spark, tmp_path):
+    """The compaction form: cut set computed over the full active
+    snapshot, only cut-bearing commits rewritten (targeted), end state
+    == one-shot window_dedup over the whole corpus, replay no-op."""
+    from swingstream.sources.catalog import IcebergLiteTable
+    from swingstream.streaming.compaction import compact_window_dedup
+
+    table = IcebergLiteTable(str(tmp_path / "corpus"))
+    # commit 0 holds the first occurrence; commit 1 a later copy
+    # (affected); commit 2 has no repeated windows (must NOT be
+    # rewritten)
+    c0 = [f"a1 a2 {SPAN} a3"]
+    c1 = [f"b1 {SPAN} b2", "u1 u2 u3"]
+    c2 = ["v1 v2 v3 v4 v5 v6 v7 v8 v9"]
+    start = 0
+    for i, texts in enumerate([c0, c1, c2]):
+        table.commit(i, _df(spark, texts, start=start) if False else
+                     spark.createDataFrame(pd.DataFrame(
+                         {"doc_id": range(start, start + len(texts)),
+                          "text": texts})))
+        start += len(texts)
+
+    m = compact_window_dedup(spark, table, k=8, compaction_id="wd-0")
+    assert m is not None and m["operation"] == "window-dedup-compaction"
+    # targeted: only commit 1 contained cut docs
+    assert [str(b) for b in m["replaces"]] == ["1"]
+    assert compact_window_dedup(spark, table, k=8, compaction_id="wd-0") is None
+
+    from swingstream.operators.dedup import window_dedup
+
+    all_docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(4),
+        "text": c0 + c1 + c2[:1],
+    }))
+    want = window_dedup(all_docs, k=8, id_col="doc_id").orderBy(
+        "doc_id").toPandas()
+    got = table.read(spark).orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(got[["doc_id", "text"]],
+                                  want[["doc_id", "text"]])
+    # the untouched doc in the affected commit passed through verbatim
+    assert got.set_index("doc_id").loc[2, "text"] == "u1 u2 u3"
+    # a second pass over the already-deduped snapshot strips nothing
+    assert compact_window_dedup(spark, table, k=8,
+                                compaction_id="wd-1") is None
+
+
+def test_streamed_drain_window_dedup_matches_one_shot_batch(spark, tmp_path):
+    """run_corpus_stream_with_compaction(final_window_dedup_k=8):
+    streamed appends + drain-time window dedup == one-shot batch
+    window_dedup over the full corpus."""
+    from swingstream.streaming.compaction import (
+        run_corpus_stream_with_compaction,
+    )
+
+    texts = (
+        [f"x{i} y{i} {SPAN} z{i}" for i in range(6)]
+        + [f"solo{i} alpha{i} beta{i}" for i in range(6)]
+    )
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    d = tmp_path / "stream"
+    d.mkdir()
+    for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 3)):
+        pdf.iloc[chunk].to_parquet(d / f"part-{i:04d}.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    table = run_corpus_stream_with_compaction(
+        spark,
+        stream,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "ck"),
+        id_col="doc_id",
+        every=0,
+        # the drain-time maintenance section (dedup -> strip-lines ->
+        # window dedup) runs under final_compaction; the exact-dup pass
+        # commits nothing on this dup-free fixture
+        final_compaction=True,
+        final_window_dedup_k=8,
+    )
+    from swingstream.operators.dedup import window_dedup
+
+    want = window_dedup(
+        spark.createDataFrame(pdf), k=8, id_col="doc_id"
+    ).orderBy("doc_id").toPandas()
+    got = table.read(spark).orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(got[["doc_id", "text"]],
+                                  want[["doc_id", "text"]])
+    assert any(
+        m.get("operation") == "window-dedup-compaction"
+        for m in table.manifests()
+    )
