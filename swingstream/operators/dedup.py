@@ -790,13 +790,15 @@ def line_dedup(
 
 def window_digest_kernel(k: int, sample_p: int = 1):
     """Arrow kernel: text → (pos, digest) structs — md5 hex of every
-    k-token window, mod-p SAMPLED.  Tokenization is trim +
-    whitespace-split + drop-empties — pinned to match
-    ``F.split(F.trim(c), r"\\s+")`` with empty filter (Spark) and
+    k-token window, mod-p SAMPLED.  Tokenization is whitespace-split +
+    drop-empties over Java's exact ``\\s`` class — pinned to match
+    ``F.filter(F.split(F.trim(c), r"\\s+"), len > 0)`` (Spark) and
     ``list_filter(string_split_regex(trim(t), '\\s+'), x -> x <> '')``
-    (DuckDB) exactly, so all three engines digest identical window
-    strings.  Docs shorter than k tokens emit no windows (nothing a
-    k-span dedup could remove).
+    (DuckDB) so all three engines digest identical window strings
+    (boundary empties vanish in the filters, so trim-vs-no-trim is
+    immaterial; Python's Unicode-aware ``\\s`` would diverge on U+00A0
+    and friends and is deliberately not used).  Docs shorter than k
+    tokens emit no windows (nothing a k-span dedup could remove).
 
     ``sample_p`` ∈ {1, 2, 4, 8, 16} keeps the ~1/p of windows whose
     digest's LAST HEX NIBBLE is < 16/p — Manber's 0-mod-p fingerprint
@@ -820,10 +822,14 @@ def window_digest_kernel(k: int, sample_p: int = 1):
 
     @F.pandas_udf("array<struct<pos: long, digest: string>>")
     def kern(texts: pd.Series) -> pd.Series:
-        ws = re.compile(r"\s+")
+        # Java's \s class EXACTLY (not Python's, which is Unicode-aware
+        # and would split on U+00A0 etc. where the Spark reassembly and
+        # the DuckDB oracle do not); boundary empties are dropped by the
+        # filter, matching F.filter(F.split(...), len>0) with no strip
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
         out = []
         for t in texts:
-            toks = [w for w in ws.split((t or "").strip()) if w]
+            toks = [w for w in ws.split(t or "") if w]
             n = len(toks)
             if n < k:
                 out.append([])

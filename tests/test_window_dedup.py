@@ -301,3 +301,23 @@ def test_streamed_drain_window_dedup_matches_one_shot_batch(spark, tmp_path):
         m.get("operation") == "window-dedup-compaction"
         for m in table.manifests()
     )
+
+
+def test_nonbreaking_space_is_a_token_char_in_all_engines(spark):
+    """U+00A0 must NOT split tokens: Python's Unicode \\s would, Java's
+    and RE2's \\s don't — the kernel pins Java's class, so the engine
+    and the DuckDB oracle agree byte-for-byte on texts carrying NBSP
+    (and on tab/newline runs + boundary whitespace)."""
+    weird = f"lead glued {SPAN}  tail\t"
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1], "text": [f"a0 {SPAN} a1", weird]}
+    )
+    got = (
+        window_dedup(spark.createDataFrame(pdf), k=8, id_col="doc_id")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    want = _duck_replay(pdf, k=8, sample_p=1)
+    pd.testing.assert_frame_equal(got, want[got.columns])
+    # the copy inside the NBSP doc was cut ("lead\xa0glued" is ONE token)
+    assert got.loc[1, "text"] == "lead glued tail"
