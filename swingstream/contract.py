@@ -378,6 +378,84 @@ ORDER BY p_partkey
 """
 
 
+def q_price_outliers(spark, sf):
+    """r7 merge of the former q_top_suppliers + q_parts_above_brand_avg
+    (one window slot, same hash coverage of both shapes): the global
+    revenue top-5 (agg → broadcast join → TakeOrderedAndProject) and the
+    per-brand above-average filter (partition window avg) tagged into one
+    aligned schema — both physical shapes survive in the unioned plan."""
+    _prep(spark)
+    top = q_top_suppliers(spark, sf).select(
+        F.lit("top_supplier").alias("op"),
+        F.col("s_suppkey").cast("long").alias("key"),
+        F.col("s_name").alias("label"),
+        F.col("revenue").alias("metric"),
+        F.lit(None).cast("double").alias("ref"),
+    )
+    above = q_parts_above_brand_avg(spark, sf).select(
+        F.lit("above_brand_avg").alias("op"),
+        F.col("p_partkey").cast("long").alias("key"),
+        F.col("p_brand").alias("label"),
+        F.col("p_retailprice").alias("metric"),
+        F.col("brand_avg").alias("ref"),
+    )
+    return top.unionByName(above).orderBy("op", "key")
+
+
+SQL_PRICE_OUTLIERS = f"""
+SELECT * FROM (
+  SELECT 'top_supplier' AS op, CAST(s_suppkey AS BIGINT) AS key,
+         s_name AS label, revenue AS metric, CAST(NULL AS DOUBLE) AS ref
+  FROM ({SQL_TOP_SUPPLIERS.strip()})
+  UNION ALL
+  SELECT 'above_brand_avg' AS op, CAST(p_partkey AS BIGINT) AS key,
+         p_brand AS label, p_retailprice AS metric, brand_avg AS ref
+  FROM ({SQL_ABOVE_AVG.strip()})
+) ORDER BY op, key
+"""
+
+
+def q_docs_host_cap(spark, sf):
+    """Per-domain cap (operators/domains.py): documents keyed by the
+    synthetic host source/lang, capped at 4 per host under the
+    deterministic md5(id) survivor order; output carries the host's
+    pre-cap size.  Under-cap hosts take the broadcast no-shuffle fast
+    path; over-cap hosts rank through WindowGroupLimit (map-side
+    pruning) — the RefinedWeb-style "no single site dominates" stage."""
+    _prep(spark)
+    from swingstream.operators.domains import host_cap, host_counts
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        # F.concat (not concat_ws): null-propagating, same as SQL's ||
+        F.concat(F.col("source"), F.lit("/"), F.col("lang")).alias("host"),
+    )
+    kept = host_cap(docs, cap=4, host_col="host", id_col="doc_id")
+    return (
+        kept.join(F.broadcast(host_counts(docs, "host")), "host")
+        .select("doc_id", "host", "n_host")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOCS_HOST_CAP = """
+WITH d AS (
+  SELECT doc_id, source || '/' || lang AS host FROM documents),
+c AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_host FROM d GROUP BY host),
+r AS (
+  SELECT doc_id, host,
+         ROW_NUMBER() OVER (
+           PARTITION BY host
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM d)
+SELECT r.doc_id, r.host, c.n_host
+FROM r JOIN c USING (host)
+WHERE rn <= 4
+ORDER BY doc_id
+"""
+
+
 def q_orders_by_month(spark, sf):
     _prep(spark)
     o = _t(spark, sf, "orders")
@@ -2573,8 +2651,15 @@ ORDER BY e.doc_id
 # frozen headline set resolves registry-or-module).  The freed slots
 # went to q_docs_decontam, q_docs_sample, q_docs_pack, and the PROMOTED
 # q_docs_line_dedup (md5 is DuckDB-expressible, so its oracle needs no
-# staging).  Next merge candidate if another slot is ever needed:
-# q_latest_event_per_user + q_asof_last_purchase (both as-of shapes).
+# staging).  r7 merges: q_docs_quality+q_docs_langid ->
+# q_docs_text_profile (slot -> q_docs_quality_clf),
+# q_docs_digest_map+q_docs_fingerprint -> q_docs_content_ids (slot ->
+# q_docs_dsir), q_docs_ngram_jaccard+_lsh -> q_docs_jaccard_pairs (slot
+# -> q_docs_window_dedup), q_top_suppliers+q_parts_above_brand_avg ->
+# q_price_outliers (slot -> q_docs_host_cap).  Next merge candidate if
+# another slot is ever needed: q_sessions + q_session_window_events
+# (both session-gap shapes) or q_emb_topk + q_emb_neardup (both
+# brute-force cosine forms).
 # Rows-only queries past the window, in promotion order if the window
 # ever grows: q_swing_edges, q_swing_sessions, then the numpy-model
 # queries (q_swing_rf/_plsr/_permutation/_ranked) and q_media_features
@@ -2592,8 +2677,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semi_anti_join": q_semi_anti_join,
     "q_set_ops": q_set_ops,
     "q_cross_universe": q_cross_universe,
-    "q_top_suppliers": q_top_suppliers,
-    "q_parts_above_brand_avg": q_parts_above_brand_avg,
+    # r7: q_top_suppliers+q_parts_above_brand_avg merged (global top-k
+    # and per-group window-avg filter in one tagged plan; standalone fns
+    # kept for any external callers) — slot spent on the oracle-backed
+    # per-domain cap q_docs_host_cap below
+    "q_price_outliers": q_price_outliers,
     "q_orders_by_month": q_orders_by_month,
     "q_distinct_users": q_distinct_users,
     # r6: q_moving_avg+q_range_window merged (ROWS + RANGE frames in one
@@ -2658,6 +2746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_docs_pack": q_docs_pack,
     "q_docs_line_dedup": q_docs_line_dedup,
     "q_docs_pack_blocks": q_docs_pack_blocks,
+    "q_docs_host_cap": q_docs_host_cap,
     # --- past the driver's 50-entry window: rows-only queries ---
     # q_swing_edges / q_swing_sessions moved out in round 5 when the two
     # oracle-backed textquality queries landed: a hash-verified external
@@ -2685,8 +2774,7 @@ ORACLES: dict[str, str] = {
     "q_semi_anti_join": SQL_SEMI_ANTI,
     "q_set_ops": SQL_SET_OPS,
     "q_cross_universe": SQL_CROSS,
-    "q_top_suppliers": SQL_TOP_SUPPLIERS,
-    "q_parts_above_brand_avg": SQL_ABOVE_AVG,
+    "q_price_outliers": SQL_PRICE_OUTLIERS,
     "q_orders_by_month": SQL_BY_MONTH,
     "q_distinct_users": SQL_DISTINCT,
     "q_window_frames": SQL_WINDOW_FRAMES,
@@ -2726,4 +2814,5 @@ ORACLES: dict[str, str] = {
     "q_docs_pack": SQL_DOCS_PACK,
     "q_docs_line_dedup": SQL_DOCS_LINE_DEDUP,
     "q_docs_pack_blocks": SQL_DOCS_PACK_BLOCKS,
+    "q_docs_host_cap": SQL_DOCS_HOST_CAP,
 }
