@@ -129,6 +129,7 @@ def _curation_extras(spark):
 
     from swingstream.operators.decontam import decontaminate
     from swingstream.operators.dedup import line_dedup, window_dedup
+    from swingstream.operators.domains import host_cap
     from swingstream.operators.dsir import dsir_select
     from swingstream.operators.packing import materialize_blocks, pack_blocks
     from swingstream.operators.quality_clf import (
@@ -191,6 +192,11 @@ def _curation_extras(spark):
         # sampled windows — the scale configuration)
         "q_docs_window_dedup_5k": lambda: window_dedup(
             docs(), k=8, sample_p=4),
+        # r7: per-domain cap — hash-order survivors, 60 docs per lang
+        # host (the Zipf corpus has 5 langs, all over-cap ⇒ the rank
+        # path does real work; the broadcast fast path is plan-tested)
+        "q_docs_host_cap_5k": lambda: host_cap(
+            docs(), cap=60, host_col="lang"),
     }
 
 

@@ -187,6 +187,28 @@ def minhash_sig_table(
     ).where(F.size("sh") > 0)
 
 
+def minhash_band_keys(
+    sigs: DataFrame, n_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Input columns + (band_idx, band_hash): THE LSH banding key —
+    xxhash64 over (band index, comma-joined signature slice).  Pinned
+    in one place so compaction-time pair discovery
+    (minhash_lsh_pairs_from_sigs) and the admission-time MinHashIndex
+    (streaming/index.py) can never disagree on banding."""
+    rows_per_band = n_hashes // bands
+    return sigs.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
+    ).withColumn(
+        "band_hash",
+        F.xxhash64(
+            "band_idx",
+            F.concat_ws(",", F.slice("sig", F.col("band_idx") * rows_per_band + 1,
+                                     rows_per_band)),
+        ),
+    )
+
+
 def minhash_lsh_pairs_from_sigs(
     sigs: DataFrame,
     n_hashes: int = 32,
@@ -202,20 +224,7 @@ def minhash_lsh_pairs_from_sigs(
     banded keys first (default off here — the staged-oracle contract
     path wants pure laziness; the discovery wrapper minhash_lsh_pairs
     defaults it ON)."""
-    rows_per_band = n_hashes // bands
-    banded = sigs.select(
-        "id",
-        "sig",
-        "sh",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
-    ).withColumn(
-        "band_hash",
-        F.xxhash64(
-            "band_idx",
-            F.concat_ws(",", F.slice("sig", F.col("band_idx") * rows_per_band + 1,
-                                     rows_per_band)),
-        ),
-    )
+    banded = minhash_band_keys(sigs.select("id", "sig", "sh"), n_hashes, bands)
     if candidate_guard:
         candidate_bound_check(
             banded, ["band_idx", "band_hash"], sigs.count(), "minhash_lsh_pairs"

@@ -279,6 +279,20 @@ class IcebergLiteTable:
         files = [os.path.join(self.data_dir, f) for f in self.data_files()]
         return self._read_files(spark, files, schema)
 
+    def read_commit(
+        self, spark: SparkSession, batch_id: int | str, schema=None
+    ) -> DataFrame:
+        """Rows of ONE commit, by batch_id — readable even after a later
+        REPLACE superseded it (replaced files stay on disk as lineage).
+        The crash-replay path uses this as the authoritative record of
+        what a batch admitted, so index commits derived from it can
+        never drift from the corpus (streaming/index.py protocol)."""
+        for m in self.manifests():
+            if str(m["batch_id"]) == str(batch_id):
+                files = [os.path.join(self.data_dir, f) for f in m["files"]]
+                return self._read_files(spark, files, schema)
+        raise KeyError(f"no commit with batch_id {batch_id!r} in {self.root}")
+
     def read_history(self, spark: SparkSession, schema=None) -> DataFrame:
         """Every row ever APPENDED — the union of the original append
         commits, ignoring REPLACE rewrites (whose files are copies of

@@ -558,6 +558,8 @@ def run_corpus_stream_with_compaction(
     digest_expr=None,
     index_buckets: int = 64,
     index_compact_every: int = 0,
+    minhash_index_root: str | None = None,
+    minhash_index_params: dict | None = None,
 ) -> IcebergLiteTable:
     """Append a streaming document DataFrame to an IcebergLite corpus
     with a dedup compaction every ``every`` commits (plus one final pass
@@ -633,6 +635,23 @@ def run_corpus_stream_with_compaction(
     file count with a periodic per-bucket bin-pack, mirroring
     ``binpack_every`` on the corpus.
 
+    ``minhash_index_root`` turns on ingest-time HISTORY-WIDE NEAR-dup
+    rejection (streaming/index.py MinHashIndex): after the gate and the
+    exact digest filter (when both are on), each micro-batch is probed
+    against the persistent banded-signature index — a document whose
+    MinHash agreement with any indexed document reaches the index
+    threshold is rejected — and the survivors' band rows are committed
+    under the same batch_id (corpus first; on replay of an
+    already-committed corpus batch every index input is re-derived from
+    ``read_commit``, the ledger-derived path that keeps a crash between
+    the index commits from losing rows).  ``minhash_index_params``
+    forwards MinHashIndex kwargs (n_buckets/n_hashes/bands/shingle_n/
+    threshold); the manifest records ``rows_rejected_neardup_index``.
+    Keep-first-by-arrival semantics: like incremental compaction,
+    CHAIN-shaped near-dup graphs can diverge from the one-shot batch
+    survivor set — the drain-time full-history compaction stays the
+    exactness backstop.
+
     foreachBatch runs batches serially, so the between-trigger batch
     compactions never race an append; every maintenance commit id is
     pinned to the triggering batch_id for exactly-once under retries.
@@ -658,55 +677,102 @@ def run_corpus_stream_with_compaction(
 
         index = DigestIndex(digest_index_root, n_buckets=index_buckets)
         dig_expr = digest_expr if digest_expr is not None else F.md5("text")
+    mh_index = None
+    if minhash_index_root is not None:
+        from swingstream.streaming.index import MinHashIndex
+
+        mh_index = MinHashIndex(
+            minhash_index_root, **(minhash_index_params or {})
+        )
 
     def commit_admitted(batch_id, frame: DataFrame, extra: dict) -> None:
         """Corpus commit, optionally behind the history-wide digest
-        index.  CORPUS FIRST, INDEX SECOND under one batch_id: a crash
-        between the two replays into a corpus no-op + the missing index
-        commit; the reverse order would let the replayed anti-join drop
-        the batch's own rows (index.py module docstring)."""
-        if index is None:
+        and/or minhash indexes.  CORPUS FIRST, INDEXES SECOND under one
+        batch_id; a replay that finds the corpus already committed
+        re-derives every index input from the corpus ledger's own rows
+        (read_commit) instead of re-running the admission filters —
+        with the batch partially indexed, a re-run would reject the
+        batch's own rows and lose the missing index's entries
+        (index.py module docstring)."""
+        if index is None and mh_index is None:
             table.commit(batch_id, frame, extra_metrics=extra or None)
+            return
+        if table.committed(batch_id):
+            committed = table.read_commit(spark, batch_id).persist()
+            try:
+                if index is not None:
+                    index.commit(
+                        batch_id, committed.select(dig_expr.alias("digest"))
+                    )
+                if mh_index is not None:
+                    mh_index.commit(
+                        batch_id,
+                        mh_index.band_rows(committed, id_col=id_col),
+                    )
+            finally:
+                committed.unpersist()
             return
         from pyspark.sql.window import Window
 
-        digested = frame.withColumn("_di_digest", dig_expr)
-        # within-batch survivor: min id_col per digest — the same keep
-        # rule as operators.dedup.exact_duplicates, so stream == batch
-        first = (
-            digested.withColumn(
-                "_di_rn",
-                F.row_number().over(
-                    Window.partitionBy("_di_digest").orderBy(id_col)
-                ),
-            )
-            .where(F.col("_di_rn") == 1)
-            .drop("_di_rn")
-        )
-        # filter_new reads `first` twice (bucket ids + anti-join) and the
-        # commit reads it again — pin it once
-        first.persist()
+        work = frame
+        pinned: list[DataFrame] = []
         try:
-            survivors = index.filter_new(first, "_di_digest").persist()
-            try:
-                n_first = first.count()
-                n_surv = survivors.count()
-                table.commit(
-                    batch_id,
-                    survivors.drop("_di_digest"),
-                    extra_metrics={
-                        **extra,
-                        "rows_rejected_index": n_first - n_surv,
-                    },
+            if index is not None:
+                digested = work.withColumn("_di_digest", dig_expr)
+                # within-batch survivor: min id_col per digest — the same
+                # keep rule as operators.dedup.exact_duplicates, so
+                # stream == batch
+                first = (
+                    digested.withColumn(
+                        "_di_rn",
+                        F.row_number().over(
+                            Window.partitionBy("_di_digest").orderBy(id_col)
+                        ),
+                    )
+                    .where(F.col("_di_rn") == 1)
+                    .drop("_di_rn")
                 )
+                # filter_new reads `first` twice (bucket ids + anti-join)
+                # and downstream reads it again — pin it once
+                first.persist()
+                pinned.append(first)
+                n_first = first.count()
+                work = index.filter_new(first, "_di_digest").persist()
+                pinned.append(work)
+                extra = {
+                    **extra,
+                    "rows_rejected_index": n_first - work.count(),
+                }
+            surv_bands = None
+            if mh_index is not None:
+                work.persist()
+                pinned.append(work)
+                n_in_mh = work.count()
+                work, surv_bands, all_bands = mh_index.filter_new(
+                    work, id_col=id_col
+                )
+                pinned.append(all_bands)  # persisted inside filter_new
+                work = work.persist()
+                pinned.append(work)
+                extra = {
+                    **extra,
+                    "rows_rejected_neardup_index": n_in_mh - work.count(),
+                }
+            table.commit(
+                batch_id,
+                work.drop("_di_digest") if index is not None else work,
+                extra_metrics=extra or None,
+            )
+            if index is not None:
                 index.commit(
                     batch_id,
-                    survivors.select(F.col("_di_digest").alias("digest")),
+                    work.select(F.col("_di_digest").alias("digest")),
                 )
-            finally:
-                survivors.unpersist()
+            if mh_index is not None:
+                mh_index.commit(batch_id, surv_bands)
         finally:
-            first.unpersist()
+            for df in pinned:
+                df.unpersist()
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if gate_fn is not None:

@@ -1,45 +1,61 @@
-"""Persistent content-digest index — ingest-time exact dedup against the
+"""Persistent admission-time indexes — ingest-time dedup against the
 ENTIRE corpus history (not just the watermark window).
 
 ``dropDuplicatesWithinWatermark`` (T8) removes transport redeliveries
 inside the watermark horizon, and ``compact_dedup`` rewrites already-
 committed duplicates after the fact.  Neither stops a page that was
 ingested last month from being committed again today: at 10^12-doc
-crawl scale, re-crawled unchanged pages are a large admission-time
-waste (GPT-3 appendix A / RefinedWeb both dedup across snapshots).
-``DigestIndex`` closes that gap: a bucket-partitioned parquet index of
-every admitted content digest, probed per micro-batch with a
-partition-pruned anti-join, and updated in the SAME exactly-once ledger
-discipline as the corpus table.
+crawl scale, re-crawled pages are a large admission-time waste (GPT-3
+appendix A / RefinedWeb both dedup across snapshots).  Two indexes
+close that gap, sharing one bucket-partitioned parquet + manifest
+ledger design:
+
+* ``DigestIndex`` — EXACT: every admitted content digest, probed per
+  micro-batch with a partition-pruned anti-join.
+* ``MinHashIndex`` — NEAR-dup: every admitted document's banded MinHash
+  signature, probed with a partition-pruned band equi-join + signature
+  agreement estimate (the standard LSH candidate → verify split; the
+  band keys are pinned to operators/dedup.py's ``minhash_band_keys`` so
+  ingest-time rejection and compaction-time pair discovery can never
+  disagree on banding).
 
 Scale shape (the design constraint is a 10^12-row index):
 
-* **Bucket partitioning** — every digest lives in bucket
-  ``pmod(xxhash64(digest), n_buckets)``; commits write one parquet
-  directory per touched bucket.  A probe reads ONLY the buckets present
-  in the incoming batch: cost is ``index_bytes × touched/n_buckets``,
-  not a full index scan.  Size ``n_buckets`` so one bucket ≈ one task
-  (2^16 buckets at 10^12 rows ≈ 15M digests/bucket ≈ 500 MB — readable
-  by one executor core; this module defaults to 64 for test corpora).
-* **Anti-join, digest-keyed** — md5 avalanche makes the shuffle key
-  uniform; the batch side is one micro-batch, the index side is the
-  pruned bucket subset.  No driver-side membership structures: the only
-  ``collect`` is the batch's distinct bucket ids (≤ ``n_buckets`` ints).
-* **Bounded file count** — every commit adds ≤ touched-buckets files, so
-  a long-running stream accumulates files linearly; ``compact`` rewrites
-  the whole index to one file per bucket under a REPLACE manifest
-  (same maintenance loop as ``compact_small_files`` on the corpus).
+* **Bucket partitioning** — every row lives in a bucket derived FROM
+  ROW CONTENT (``pmod(hash, n_buckets)``), so compaction can rebucket
+  from the content alone; commits write one parquet directory per
+  touched bucket.  A probe reads ONLY the buckets present in the
+  incoming batch: cost is ``index_bytes × touched/n_buckets``, not a
+  full index scan.  Size ``n_buckets`` so one bucket ≈ one task (2^16
+  buckets at 10^12 rows ≈ 15M rows/bucket — readable by one executor
+  core; this module defaults to 64 for test corpora).
+* **Equi-join probes, hash-keyed** — avalanche keys (md5 digests /
+  banded xxhash64) make the shuffle uniform; the batch side is one
+  micro-batch, the index side the pruned bucket subset.  No driver-side
+  membership structures: the only ``collect`` is the batch's distinct
+  bucket ids (≤ ``n_buckets`` ints).
+* **Bounded file count** — every commit adds ≤ touched-buckets files;
+  ``compact`` rewrites the whole index to one file per bucket under a
+  REPLACE manifest (same maintenance loop as ``compact_small_files``).
+* **MinHash storage** — each admitted doc stores ``bands`` rows of
+  (id, band_idx, band_hash, sig); the signature rides on every band row
+  so the probe's verify step needs no second join.  At 10^10+ docs,
+  split sig storage into an id-bucketed side table (one extra bounded
+  probe) to cut the ×bands signature duplication — seam documented at
+  ``MinHashIndex._route``.
 
 Exactly-once protocol (with a corpus ``IcebergLiteTable``): the sink
-must commit the CORPUS first, the index second, both under the same
-``batch_id``.  A crash between the two replays into a corpus-commit
-no-op followed by the missing index commit; committing the index first
-would instead let the replayed anti-join filter the batch's own rows
-out and lose them.  ``run_corpus_stream_with_compaction`` wires this
-order (streaming/compaction.py).
+commits the CORPUS first, the indexes second, all under the same
+``batch_id``.  A replay where the corpus is ALREADY committed must
+derive the index inputs from the corpus ledger's committed rows
+(``IcebergLiteTable.read_commit``), NOT by re-running the admission
+filters — with the batch's rows already indexed (or partially
+indexed), a re-run would filter the batch's own rows out and lose the
+other index's entries.  ``run_corpus_stream_with_compaction`` wires
+this (streaming/compaction.py).
 
-Unlike the corpus table there is no crash-orphan ADOPTION path: the
-index is only ever read inside the serial foreachBatch sink (no
+Unlike the corpus table there is no crash-orphan ADOPTION path: index
+data is only ever read inside the serial foreachBatch sink (no
 concurrent streaming file reader holds its paths), so an orphaned data
 dir without a manifest is simply removed and rewritten.
 """
@@ -54,7 +70,7 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["DigestIndex", "digest_bucket"]
+__all__ = ["DigestIndex", "MinHashIndex", "digest_bucket"]
 
 
 def digest_bucket(digest: Column, n_buckets: int) -> Column:
@@ -63,13 +79,16 @@ def digest_bucket(digest: Column, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(digest), F.lit(n_buckets)).cast("int")
 
 
-class DigestIndex:
-    """Bucket-partitioned digest index with an idempotent manifest ledger.
+class _BucketedIndex:
+    """Shared bucket-partitioned parquet store + idempotent manifest
+    ledger.  Subclasses pin ``SCHEMA`` (the content columns, bucket
+    excluded) and ``_route`` (content → distinct rows + ``bucket``
+    column, derived from content only so ``compact`` can rebucket).
 
     Layout::
 
         root/
-          data/batch-<label>/bucket=<b>/part-*.parquet   (digest: string)
+          data/batch-<label>/bucket=<b>/part-*.parquet
           manifests/<batch_id>.json
           _tmp/
 
@@ -78,7 +97,9 @@ class DigestIndex:
     flips on the single manifest write.
     """
 
-    def __init__(self, root: str, n_buckets: int = 64):
+    SCHEMA: str = ""
+
+    def __init__(self, root: str, n_buckets: int = 64, **meta_extra):
         self.root = root
         self.n_buckets = int(n_buckets)
         self.data_dir = os.path.join(root, "data")
@@ -86,20 +107,21 @@ class DigestIndex:
         self.tmp_dir = os.path.join(root, "_tmp")
         for d in (self.data_dir, self.manifest_dir, self.tmp_dir):
             os.makedirs(d, exist_ok=True)
+        meta = {"n_buckets": self.n_buckets, **meta_extra}
         meta_path = os.path.join(root, "index-meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
-                meta = json.load(fh)
-            if int(meta["n_buckets"]) != self.n_buckets:
-                raise ValueError(
-                    f"digest index at {root} was built with "
-                    f"n_buckets={meta['n_buckets']}, opened with "
-                    f"{self.n_buckets} — bucket routing would diverge"
-                )
+                have = json.load(fh)
+            for k, v in meta.items():
+                if k in have and have[k] != v:
+                    raise ValueError(
+                        f"index at {root} was built with {k}={have[k]}, "
+                        f"opened with {v} — routing/keys would diverge"
+                    )
         else:
             tmp = meta_path + ".tmp"
             with open(tmp, "w") as fh:
-                json.dump({"n_buckets": self.n_buckets}, fh)
+                json.dump(meta, fh)
             os.replace(tmp, meta_path)
 
     # -- ledger ------------------------------------------------------------
@@ -132,22 +154,29 @@ class DigestIndex:
         ms = [m["seq"] for m in self.manifests()]
         return (max(ms) + 1) if ms else 0
 
+    # -- routing (subclass) ----------------------------------------------
+
+    def _route(self, rows: DataFrame) -> DataFrame:
+        """Content rows → distinct SCHEMA rows + ``bucket`` column.
+        MUST derive the bucket from row content only."""
+        raise NotImplementedError
+
     # -- write path ----------------------------------------------------------
 
     def commit(
         self,
         batch_id: int | str,
-        digests: DataFrame,
+        rows: DataFrame,
         *,
         operation: str = "append",
         replaces: list | None = None,
     ) -> dict | None:
-        """Idempotent commit of one batch's digests (column ``digest``).
+        """Idempotent commit of one batch's index rows.
 
-        Digests are distinct-ed and routed to ``bucket`` here, written
-        one parquet dir per touched bucket, published with one atomic
-        dir rename; the manifest write flips visibility.  Returns None
-        on replay of an already-committed batch_id.
+        Rows are routed (``_route``), written one parquet dir per
+        touched bucket, published with one atomic dir rename; the
+        manifest write flips visibility.  Returns None on replay of an
+        already-committed batch_id.
         """
         if self.committed(batch_id):
             return None
@@ -163,12 +192,7 @@ class DigestIndex:
             # see module docstring for why no adoption path is needed
             shutil.rmtree(final_dir)
 
-        routed = (
-            digests.select(F.col("digest").cast("string").alias("digest"))
-            .where(F.col("digest").isNotNull())
-            .distinct()
-            .withColumn("bucket", digest_bucket(F.col("digest"), self.n_buckets))
-        )
+        routed = self._route(rows)
         stage = os.path.join(self.tmp_dir, f"stage-{label}-{uuid.uuid4().hex}")
         # repartition by bucket first: each written bucket dir then holds
         # O(1) part files instead of one per upstream task
@@ -188,12 +212,12 @@ class DigestIndex:
                 if not f.endswith(".parquet"):
                     continue
                 src = os.path.join(stage, bdir, f)
-                rows = pq.read_metadata(src).num_rows
+                rows_n = pq.read_metadata(src).num_rows
                 lineage.append(
                     {
                         "file": f"batch-{label}/{bdir}/{f}",
                         "bucket": bucket,
-                        "rows": rows,
+                        "rows": rows_n,
                     }
                 )
                 os.replace(src, os.path.join(pub, bdir, f))
@@ -231,12 +255,53 @@ class DigestIndex:
     def total_rows(self) -> int:
         return sum(m["rows"] for m in self.active_manifests())
 
+    def _read(self, spark: SparkSession, files: list[str]) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], self.SCHEMA)
+        return spark.read.schema(self.SCHEMA).parquet(*files)
+
+    # -- maintenance -----------------------------------------------------
+
+    def compact(self, spark: SparkSession, compaction_id: str) -> dict | None:
+        """Rewrite the whole active index to ≤1 file per bucket under a
+        REPLACE manifest — the file-count maintenance loop (a stream of
+        k commits otherwise leaves O(k × touched-buckets) files).
+        Idempotent on ``compaction_id``; a replay is a no-op."""
+        if self.committed(compaction_id):
+            return None
+        active = self.active_manifests()
+        if not active:
+            return None
+        files = [
+            os.path.join(self.data_dir, e["file"])
+            for m in active
+            for e in m["files"]
+        ]
+        return self.commit(
+            compaction_id,
+            self._read(spark, files),
+            operation="binpack",
+            replaces=[m["batch_id"] for m in active],
+        )
+
+
+class DigestIndex(_BucketedIndex):
+    """Exact content-digest index: one ``digest`` string per admitted
+    document, probed with a partition-pruned LEFT ANTI join."""
+
+    SCHEMA = "digest string"
+
+    def _route(self, rows: DataFrame) -> DataFrame:
+        return (
+            rows.select(F.col("digest").cast("string").alias("digest"))
+            .where(F.col("digest").isNotNull())
+            .distinct()
+            .withColumn("bucket", digest_bucket(F.col("digest"), self.n_buckets))
+        )
+
     def probe(self, spark: SparkSession, buckets) -> DataFrame:
         """Known digests in ``buckets`` (deduplicated across commits)."""
-        files = self.files_for_buckets(buckets)
-        if not files:
-            return spark.createDataFrame([], "digest string")
-        return spark.read.schema("digest string").parquet(*files).distinct()
+        return self._read(spark, self.files_for_buckets(buckets)).distinct()
 
     def filter_new(
         self, batch: DataFrame, digest_col: str = "digest"
@@ -264,27 +329,158 @@ class DigestIndex:
             "left_anti",
         )
 
-    # -- maintenance -----------------------------------------------------
 
-    def compact(self, spark: SparkSession, compaction_id: str) -> dict | None:
-        """Rewrite the whole active index to ≤1 file per bucket under a
-        REPLACE manifest — the file-count maintenance loop (a stream of
-        k commits otherwise leaves O(k × touched-buckets) files).
-        Idempotent on ``compaction_id``; a replay is a no-op."""
-        if self.committed(compaction_id):
-            return None
-        active = self.active_manifests()
-        if not active:
-            return None
-        files = [
-            os.path.join(self.data_dir, e["file"])
-            for m in active
-            for e in m["files"]
-        ]
-        all_digests = spark.read.schema("digest string").parquet(*files)
-        return self.commit(
-            compaction_id,
-            all_digests,
-            operation="binpack",
-            replaces=[m["batch_id"] for m in active],
+class MinHashIndex(_BucketedIndex):
+    """Near-dup admission index: banded MinHash signatures of every
+    admitted document, probed with a partition-pruned band equi-join.
+
+    A new document is rejected when its signature AGREEMENT with any
+    indexed document sharing a band key is ≥ ``threshold`` (the
+    standard LSH split: band collision proposes, signature agreement
+    verifies — the n_hashes-position estimate of Jaccard; exact shingle
+    verification would require storing every document's shingle set).
+    Band keys come from ``operators.dedup.minhash_band_keys`` — the SAME
+    expression the compaction-time pair discovery uses, so admission
+    and compaction can never disagree on banding.
+
+    History semantics are KEEP-FIRST BY ARRIVAL against the indexed
+    prefix, like the exact DigestIndex — and like incremental
+    ``compact_dedup``, CHAIN-shaped near-dup graphs can diverge from
+    the one-shot batch min-id survivor set (A indexed; B rejected
+    near A and never indexed; C near B but not near A is then
+    ADMITTED).  Cliques with ids in arrival order match the batch
+    survivors exactly (pinned by test); the drain-time full-history
+    compaction remains the exactness backstop.
+    """
+
+    SCHEMA = "id string, band_idx int, band_hash long, sig array<bigint>"
+
+    def __init__(
+        self,
+        root: str,
+        n_buckets: int = 64,
+        n_hashes: int = 32,
+        bands: int = 8,
+        shingle_n: int = 3,
+        threshold: float = 0.8,
+    ):
+        if n_hashes % bands != 0:
+            raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
+        super().__init__(
+            root,
+            n_buckets,
+            n_hashes=int(n_hashes),
+            bands=int(bands),
+            shingle_n=int(shingle_n),
         )
+        self.n_hashes = int(n_hashes)
+        self.bands = int(bands)
+        self.shingle_n = int(shingle_n)
+        self.threshold = float(threshold)
+
+    # content → banded rows.  At 10^10+ docs, replace the sig-on-every-
+    # band-row duplication with an id-bucketed sig side table and a
+    # second bounded probe (module docstring) — the ledger machinery is
+    # already table-agnostic.
+    def _route(self, rows: DataFrame) -> DataFrame:
+        return rows.select("id", "band_idx", "band_hash", "sig").dropDuplicates(
+            ["id", "band_idx"]
+        ).withColumn(
+            "bucket",
+            F.pmod(F.col("band_hash"), F.lit(self.n_buckets)).cast("int"),
+        )
+
+    def band_rows(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """(id, band_idx, band_hash, sig) of a document frame — the
+        Arrow minhash kernel + the pinned band-key expression.  Docs
+        with no shingles (shorter than the shingle width) emit nothing:
+        there is nothing a near-dup test could match on."""
+        from swingstream.operators.dedup import (
+            minhash_band_keys,
+            minhash_sig_table,
+        )
+
+        sigs = minhash_sig_table(
+            docs, text_col=text_col, id_col=id_col,
+            n_hashes=self.n_hashes, shingle_n=self.shingle_n,
+        )
+        # ids stored as strings: corpus identity columns are urls in the
+        # streaming pipeline and longs in the batch fixtures — one index
+        # schema serves both
+        return minhash_band_keys(
+            sigs.select(F.col("id").cast("string").alias("id"), "sig"),
+            self.n_hashes,
+            self.bands,
+        )
+
+    def probe_rejects(self, bands_batch: DataFrame) -> DataFrame:
+        """Distinct batch ids whose signature agrees ≥ threshold with
+        any indexed doc sharing a band key.  One bounded collect (the
+        batch's distinct band buckets), one band equi-join over the
+        pruned index subset, one zip_with agreement estimate — all
+        JVM-side."""
+        spark = bands_batch.sparkSession
+        bucket_rows = (
+            bands_batch.select(
+                F.pmod(F.col("band_hash"), F.lit(self.n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        known = self._read(
+            spark, self.files_for_buckets([r["b"] for r in bucket_rows])
+        )
+        cand = (
+            bands_batch.alias("n")
+            .join(
+                known.alias("k"),
+                (F.col("n.band_idx") == F.col("k.band_idx"))
+                & (F.col("n.band_hash") == F.col("k.band_hash")),
+            )
+            .select(
+                F.col("n.id").alias("id"),
+                F.col("k.id").alias("idx_id"),
+                F.col("n.sig").alias("sig"),
+                F.col("k.sig").alias("idx_sig"),
+            )
+            .dropDuplicates(["id", "idx_id"])
+        )
+        agree = F.aggregate(
+            F.zip_with("sig", "idx_sig", lambda x, y: (x == y).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) / F.size("sig")
+        return (
+            cand.where(agree >= F.lit(self.threshold)).select("id").distinct()
+        )
+
+    def filter_new(
+        self,
+        batch: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(survivors, band_rows_of_survivors, band_rows): rows of
+        ``batch`` that are NOT near-dups of the indexed history, plus
+        their band rows (hand those to ``commit`` so the kernel runs
+        once).  The third element is the PERSISTED all-batch band frame
+        both outputs derive from — the probe's bucket collect, the
+        survivor anti-join, and the index commit all re-read it, so it
+        is pinned here; the CALLER must unpersist it when done.
+        Persist ``batch`` in the caller too when its upstream is
+        expensive."""
+        bands_batch = self.band_rows(batch, text_col, id_col).persist()
+        rejects = self.probe_rejects(bands_batch)
+        survivors = batch.join(
+            rejects,
+            batch[id_col].cast("string") == rejects["id"],
+            "left_anti",
+        )
+        surv_bands = bands_batch.join(
+            rejects, "id", "left_anti"
+        )
+        return survivors, surv_bands, bands_batch
