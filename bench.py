@@ -131,6 +131,7 @@ def _curation_extras(spark):
     from swingstream.operators.dedup import line_dedup, window_dedup
     from swingstream.operators.domains import host_cap
     from swingstream.operators.dsir import dsir_select
+    from swingstream.operators.lmscore import lm_perplexity_buckets, lm_score
     from swingstream.operators.packing import materialize_blocks, pack_blocks
     from swingstream.operators.quality_clf import (
         quality_clf_scores,
@@ -197,6 +198,12 @@ def _curation_extras(spark):
         # path does real work; the broadcast fast path is plan-tested)
         "q_docs_host_cap_5k": lambda: host_cap(
             docs(), cap=60, host_col="lang"),
+        # r7: unigram LM perplexity — train on every 5th doc, score all,
+        # approx-percentile head/middle/tail cut (the scale path; the
+        # exact ntile twin is the oracle's)
+        "q_docs_lm_ppl_5k": lambda: lm_perplexity_buckets(
+            lm_score(docs(), docs().where(F.col("doc_id") % 5 == 0)),
+            3, exact=False),
     }
 
 

@@ -238,15 +238,16 @@ def quality_gate(
     """Corpus admission gate: drop documents failing the
     ``quality_annotate`` thresholds and mask PII in the survivors' text.
     All other columns pass through unchanged."""
+    from swingstream.operators.pii import redact
+
     ann = quality_annotate(docs, text_col=text_col, **annotate_kw)
     out = ann.where(F.col("reject_reason").isNull()).drop("reject_reason")
     if mask_pii:
         out = out.withColumn(
             text_col,
-            F.regexp_replace(
-                F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
-                PHONE_RE,
-                "<PHONE>",
+            redact(
+                F.col(text_col),
+                [(EMAIL_RE, "<EMAIL>"), (PHONE_RE, "<PHONE>")],
             ),
         )
     return out
@@ -269,18 +270,19 @@ def pii_scrub(
     oracle replays the same order).  Pure regexp column expressions —
     JVM-side, whole-stage codegen, embarrassingly parallel; the RE2
     subset keeps Spark and the DuckDB oracle byte-identical.
-    """
+
+    Legacy gate-embedded form, schema pinned by the q_docs_textquality
+    oracle; the regex engine lives in operators/pii.py (the canonical
+    standalone surface with IPv4 + stats is ``pii.pii_redact``)."""
+    from swingstream.operators.pii import count_matches, redact
+
     t = F.col(text_col)
     return docs.select(
         id_col,
-        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
-        .cast("long")
-        .alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
-        .cast("long")
-        .alias("n_phones"),
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        count_matches(t, EMAIL_RE).alias("n_emails"),
+        count_matches(t, PHONE_RE).alias("n_phones"),
+        redact(
+            t, [(EMAIL_RE, "<EMAIL>"), (PHONE_RE, "<PHONE>")]
         ).alias("text_masked"),
     )
 
