@@ -270,6 +270,106 @@ def _host_calibration() -> dict:
     }
 
 
+def _ingest_stream_dir() -> tuple[str, int]:
+    """Cached corpus-ingest stream fixture: 8 batches × the realistic
+    5k Zipf corpus with fresh ids; from batch 1 on, 10% of each batch
+    re-crawls batch-0 text byte-exactly (the digest index's job) and a
+    disjoint 10% re-crawls it with a two-token edit (jaccard ≈ 0.97 —
+    the minhash index's job; the rewrites repeat across batches but
+    their originals were never admitted, so every copy is rejected by
+    the MINHASH probe, not the digest).  Returns (dir, total_docs)."""
+    from swingstream.fixtures import gen_documents
+
+    n, n_batches = 5000, 8
+    root = os.path.join(tempfile.gettempdir(),
+                        f"swingstream-ingest-{n_batches}x{n // 1000}k")
+    meta = root + ".meta.json"
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            return root, json.load(fh)["total"]
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    # FRESH text per batch (a copied corpus with new ids would be 100%
+    # digest-rejected); internal dup/neardup_frac planted by the
+    # generator stay in, measured as within-corpus rejections
+    full = gen_documents(n_docs=n * n_batches)[["doc_id", "text"]]
+    base = full.iloc[:n].reset_index(drop=True)
+    now = time.time()
+    for i in range(n_batches):
+        b = full.iloc[i * n:(i + 1) * n].reset_index(drop=True)
+        if i > 0:
+            exact = b.index % 10 == 0
+            near = b.index % 10 == 1
+            b.loc[exact, "text"] = base.loc[exact, "text"].values
+            b.loc[near, "text"] = base.loc[near, "text"].values + " edit marker"
+        p = os.path.join(root, f"batch-{i:04d}.parquet")
+        b.to_parquet(p, index=False)
+        os.utime(p, (now + 10 * i, now + 10 * i))
+    with open(meta, "w") as fh:
+        json.dump({"total": n * n_batches}, fh)
+    return root, n * n_batches
+
+
+def run_ingest_bench(spark) -> dict:
+    """Streaming corpus-ingest throughput through the FULL admission
+    topology: within-batch exact survivor → history-wide digest index →
+    history-wide MinHash index → exactly-once IcebergLite append.
+    Sidecar (new in r7) — not part of the frozen headline value."""
+    from swingstream.streaming.compaction import (
+        run_corpus_stream_with_compaction,
+    )
+
+    stream_dir, total = _ingest_stream_dir()
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="swingstream-ingest-", dir=shm)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    # 5k-doc micro-batches are task-overhead-bound at the session's
+    # shuffle width; the admission path's many small per-batch stages
+    # (survivor window, two index probes, commit counts) want a few
+    # fat partitions here — restored after the run
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    t0 = time.time()
+    try:
+        table = run_corpus_stream_with_compaction(
+            spark, stream, os.path.join(work, "corpus"),
+            os.path.join(work, "ck"), id_col="doc_id",
+            every=0, final_compaction=False,
+            digest_index_root=os.path.join(work, "digest_idx"),
+            # 16 buckets ≈ one fat probe task each at this scale; the
+            # periodic index bin-pack stays OFF — at 8 commits it costs
+            # more than the file growth it prevents (it pays on LONG
+            # streams; wired + tested via index_compact_every)
+            index_buckets=16,
+            minhash_index_root=os.path.join(work, "minhash_idx"),
+            minhash_index_params={"n_buckets": 16},
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    wall = time.time() - t0
+    manifests = table.manifests()
+    out = {
+        "docs_offered": total,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(total / wall, 1),
+        "rows_admitted": table.total_rows(),
+        "rows_rejected_exact": sum(
+            m["metrics"].get("rows_rejected_index", 0) for m in manifests),
+        "rows_rejected_neardup": sum(
+            m["metrics"].get("rows_rejected_neardup_index", 0)
+            for m in manifests),
+        "ts_start": round(t0, 3),
+        "ts_end": round(t0 + wall, 3),
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def run_streaming_bench(spark, params, fft: int | None = None,
                         q2_mft: int | None = None) -> dict:
     from swingstream.streaming.state import run_pipeline_concurrent
@@ -391,6 +491,9 @@ def main() -> None:
         tuned = run_streaming_bench(spark, params, fft=64, q2_mft=16)
         tuned["trigger_config"] = {"feature_files_per_trigger": 64,
                                    "q2_files_per_trigger": 16}
+    # corpus-ingest admission topology sidecar (r7: digest + minhash
+    # admission indexes) — inside the calibration bracket
+    ingest = run_ingest_bench(spark)
     # post-run host stamp after the streaming section closes the bracket
     calibration_post = _host_calibration()
     streaming = max(streaming_runs, key=lambda s: s["docs_per_sec"])
@@ -441,6 +544,7 @@ def main() -> None:
         "host_calibration_post": calibration_post,
         "streaming": streaming,
         "streaming_tuned_trigger": tuned,
+        "streaming_ingest": ingest,
         "scaling_gate": _scaling_gate_summary(),
     }
     print(json.dumps(out))

@@ -2295,6 +2295,100 @@ WHERE rk <= 5 ORDER BY query_id, rk
 """
 
 
+def q_emb_ann(spark, sf):
+    """r7 merge of q_emb_ann_lsh + q_emb_ivf_ann (one window slot, same
+    hash coverage of both approximate-NN probe shapes): hyperplane-LSH
+    bucket probing and IVF coarse-quantizer multi-probe tagged into one
+    aligned schema — both physical plans and both staged-oracle replays
+    survive in the union; standalone fns stay defined.  Slot freed for
+    the oracle-backed q_docs_links."""
+    lsh = q_emb_ann_lsh(spark, sf).select(
+        F.lit("lsh").alias("mode"), "query_id", "cand_id", "cos", "rk"
+    )
+    ivf = q_emb_ivf_ann(spark, sf).select(
+        F.lit("ivf").alias("mode"), "query_id", "cand_id", "cos", "rk"
+    )
+    return lsh.unionByName(ivf).orderBy("mode", "query_id", "rk")
+
+
+SQL_EMB_ANN = f"""
+SELECT * FROM (
+  SELECT 'lsh' AS mode, query_id, cand_id, cos, rk
+  FROM ({SQL_EMB_ANN_LSH.strip()})
+  UNION ALL
+  SELECT 'ivf' AS mode, query_id, cand_id, cos, rk
+  FROM ({SQL_EMB_IVF_ANN.strip()})
+) ORDER BY mode, query_id, rk
+"""
+
+
+def q_docs_links(spark, sf):
+    """Link-graph extraction + in-degree (operators/links.py): the
+    synthetic corpus carries no anchors, so the query injects them
+    deterministically from doc_id — every doc links to one of 7×13
+    'Site' pages (with a tracking param and mixed-case host, so
+    canonical_url does real work) and every 3rd doc also links to one
+    of 5 'Hub' pages.  The oracle replays extraction with the same
+    Java∩RE2 href regex; on these controlled targets (no userinfo, one
+    all-tracking query, lowercase paths) canonical_url reduces to
+    lower(before('?')) which the SQL twin applies."""
+    _prep(spark)
+    from swingstream.operators.links import extract_links, in_degree
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    enriched = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(' <a href="http://Site'),
+            (did % 7).cast("string"),
+            F.lit(".Example.org/p/"),
+            (did % 13).cast("string"),
+            F.lit("?utm_campaign=c"),
+            (did % 4).cast("string"),
+            F.lit('">x</a>'),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(' <a href="https://Hub.example.org/h/'),
+                    (did % 5).cast("string"),
+                    F.lit('">y</a>'),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("html"),
+    )
+    links = extract_links(enriched, html_col="html", url_col="source")
+    return (
+        in_degree(links, src_host=F.col("src_url"))
+        .orderBy("target")
+    )
+
+
+SQL_DOCS_LINKS = r"""
+WITH enriched AS (
+  SELECT doc_id, source,
+         text
+         || ' <a href="http://Site' || CAST(doc_id % 7 AS VARCHAR)
+         || '.Example.org/p/' || CAST(doc_id % 13 AS VARCHAR)
+         || '?utm_campaign=c' || CAST(doc_id % 4 AS VARCHAR) || '">x</a>'
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN ' <a href="https://Hub.example.org/h/'
+                       || CAST(doc_id % 5 AS VARCHAR) || '">y</a>'
+                  ELSE '' END) AS html
+  FROM documents),
+links AS (
+  SELECT source AS src_url,
+         LOWER(split_part(u.t, '?', 1)) AS target
+  FROM enriched,
+       UNNEST(regexp_extract_all(html, '<a\s[^>]*href="([^"]+)"', 1)) AS u(t))
+SELECT target, CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT src_url) AS BIGINT) AS n_src_hosts
+FROM links GROUP BY target ORDER BY target
+"""
+
+
 def q_media_features(spark, sf):
     _prep(spark)
     from swingstream.operators.multimodal import (
@@ -2898,10 +2992,10 @@ ORDER BY e.doc_id
 # -> q_docs_window_dedup), q_top_suppliers+q_parts_above_brand_avg ->
 # q_price_outliers (slot -> q_docs_host_cap), q_sessions+
 # q_session_window_events -> q_session_shapes (slot -> q_docs_pii),
-# q_emb_topk+q_emb_neardup -> q_emb_cosine (slot -> q_docs_lm_ppl).
+# q_emb_topk+q_emb_neardup -> q_emb_cosine (slot -> q_docs_lm_ppl),
+# q_emb_ann_lsh+q_emb_ivf_ann -> q_emb_ann (slot -> q_docs_links).
 # Next merge candidate if another slot is ever needed:
-# q_docs_stats + q_docs_text_profile (both per-doc text-feature maps)
-# or q_emb_ann_lsh + q_emb_ivf_ann (both ANN probe shapes).
+# q_docs_stats + q_docs_text_profile (both per-doc text-feature maps).
 # Rows-only queries past the window, in promotion order if the window
 # ever grows: q_swing_edges, q_swing_sessions, then the numpy-model
 # queries (q_swing_rf/_plsr/_permutation/_ranked) and q_media_features
@@ -2974,8 +3068,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_docs_neardup_clusters": q_docs_neardup_clusters,
     "q_docs_survivors": q_docs_survivors,
     "q_docs_simhash": q_docs_simhash,
-    "q_emb_ann_lsh": q_emb_ann_lsh,
-    "q_emb_ivf_ann": q_emb_ivf_ann,
+    # r7: q_emb_ann_lsh+q_emb_ivf_ann merged (hyperplane-LSH and IVF
+    # multi-probe ANN in one tagged plan, both staged oracles replayed;
+    # standalone fns stay defined) — slot spent on the oracle-backed
+    # q_docs_links below
+    "q_emb_ann": q_emb_ann,
     "q_media_meta": q_media_meta,
     "q_na_drop": q_na_drop,
     "q_roc_curve": q_roc_curve,
@@ -2997,6 +3094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_docs_host_cap": q_docs_host_cap,
     "q_docs_pii": q_docs_pii,
     "q_docs_lm_ppl": q_docs_lm_ppl,
+    "q_docs_links": q_docs_links,
     # --- past the driver's 50-entry window: rows-only queries ---
     # q_swing_edges / q_swing_sessions moved out in round 5 when the two
     # oracle-backed textquality queries landed: a hash-verified external
@@ -3048,8 +3146,7 @@ ORACLES: dict[str, str] = {
     "q_docs_neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "q_docs_survivors": SQL_DOCS_SURVIVORS,
     "q_docs_simhash": SQL_SIMHASH,
-    "q_emb_ann_lsh": SQL_EMB_ANN_LSH,
-    "q_emb_ivf_ann": SQL_EMB_IVF_ANN,
+    "q_emb_ann": SQL_EMB_ANN,
     "q_pages_features": SQL_PAGES_FEATURES,
     "q_session_series": SQL_SESSION_SERIES,
     "q_swing_rank_agg": SQL_SWING_RANK_AGG,
@@ -3065,4 +3162,5 @@ ORACLES: dict[str, str] = {
     "q_docs_host_cap": SQL_DOCS_HOST_CAP,
     "q_docs_pii": SQL_DOCS_PII,
     "q_docs_lm_ppl": SQL_DOCS_LM_PPL,
+    "q_docs_links": SQL_DOCS_LINKS,
 }

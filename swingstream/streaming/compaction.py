@@ -631,9 +631,12 @@ def run_corpus_stream_with_compaction(
     land in the index under the SAME batch_id, corpus first / index
     second (the crash-safe order — see the index module docstring).
     ``digest_expr`` defaults to ``md5(text)``; the manifest records
-    ``rows_rejected_index``.  ``index_compact_every`` bounds the index
-    file count with a periodic per-bucket bin-pack, mirroring
-    ``binpack_every`` on the corpus.
+    ``rows_rejected_index``.  ``index_compact_every`` bounds the file
+    count of EVERY enabled admission index (digest and minhash) with a
+    periodic per-bucket bin-pack, mirroring ``binpack_every`` on the
+    corpus — without it a long stream's probe cost grows with the
+    COMMIT COUNT (one file per touched bucket per commit ⇒ one read
+    task per file), not with the index size.
 
     ``minhash_index_root`` turns on ingest-time HISTORY-WIDE NEAR-dup
     rejection (streaming/index.py MinHashIndex): after the gate and the
@@ -809,10 +812,11 @@ def run_corpus_stream_with_compaction(
                 batch_df.unpersist()
         else:
             commit_admitted(batch_id, batch_df, {})
-        if index is not None and index_compact_every > 0 and (
-            batch_id + 1
-        ) % index_compact_every == 0:
-            index.compact(spark, f"index-binpack-{batch_id}")
+        if index_compact_every > 0 and (batch_id + 1) % index_compact_every == 0:
+            if index is not None:
+                index.compact(spark, f"index-binpack-{batch_id}")
+            if mh_index is not None:
+                mh_index.compact(spark, f"mh-index-binpack-{batch_id}")
         if every > 0 and (batch_id + 1) % every == 0:
             compact_dedup(spark, table, pf, id_col=id_col,
                           compaction_id=f"compact-{batch_id}",

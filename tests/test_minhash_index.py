@@ -259,3 +259,58 @@ def test_minhash_crash_heals_via_ledger_derived_replay(
         assert surv.count() == 0
     finally:
         ab.unpersist()
+
+
+def test_periodic_index_binpack_covers_both_indexes(spark, tmp_path):
+    """index_compact_every bin-packs BOTH admission indexes (digest and
+    minhash) on the same cadence: after the trigger, each index's active
+    ledger is a single binpack REPLACE manifest with ≤1 file per bucket,
+    and rejection behavior is preserved — the batch arriving after the
+    compaction still gets its re-crawls rejected."""
+    from swingstream.streaming.compaction import (
+        run_corpus_stream_with_compaction,
+    )
+
+    pdf = _neardup_docs_pdf()
+    d = str(tmp_path / "docs_stream")
+    # batches 0,1 fill the indexes; compaction fires after batch 1
+    # ((1+1) % 2 == 0); batch 2 probes the COMPACTED indexes: 21 is a
+    # near-dup of clique α, 104/105 are fresh
+    _write_docs_stream(
+        pdf, d, [[1, 2, 100, 101], [102, 103], [21, 104, 105]]
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    table = run_corpus_stream_with_compaction(
+        spark, stream, str(tmp_path / "corpus"), str(tmp_path / "ck"),
+        id_col="doc_id", every=0, final_compaction=False,
+        digest_index_root=str(tmp_path / "didx"), index_buckets=16,
+        index_compact_every=2,
+        minhash_index_root=str(tmp_path / "midx"),
+        minhash_index_params={"n_buckets": 16, "threshold": 0.75},
+    )
+
+    got = sorted(r["doc_id"] for r in table.read(spark).collect())
+    assert got == [1, 2, 100, 101, 102, 103, 104, 105]
+    rejected = sum(
+        m["metrics"].get("rows_rejected_neardup_index", 0)
+        for m in table.manifests()
+    )
+    assert rejected == 1  # 21, rejected by the post-compaction probe
+
+    midx = MinHashIndex(str(tmp_path / "midx"), n_buckets=16, threshold=0.75)
+    didx = DigestIndex(str(tmp_path / "didx"), n_buckets=16)
+    for idx in (midx, didx):
+        ops = [m.get("operation") for m in idx.manifests()]
+        assert "binpack" in ops, "periodic compaction never fired"
+        # post-compaction state: binpack REPLACE + the batch-2 commit
+        active = idx.active_manifests()
+        assert sum(1 for m in active if m.get("operation") == "binpack") == 1
+        binpack = [m for m in active if m.get("operation") == "binpack"][0]
+        assert len(binpack["files"]) <= idx.n_buckets
+    # membership preserved through the rewrite: total band rows = every
+    # admitted doc x bands
+    assert midx.total_rows() == 8 * midx.bands
