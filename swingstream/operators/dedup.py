@@ -624,21 +624,56 @@ def exact_dup_pairs(
 
 
 def dedup_survivors(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    keep_by: str | None = None,
+    descending: bool = True,
 ) -> DataFrame:
     """Keep-list materialization — the last stage of a dedup pipeline:
     every doc not in any near-dup pair survives; each connected
-    component keeps exactly its min-id member.
+    component keeps exactly one member — its min-id by default, or (the
+    RefinedWeb-style policy) its best member by ``keep_by`` (e.g. a
+    quality_score column; ``descending=True`` keeps the HIGHEST, ties
+    break to min id so the choice is total and rerun-stable).
 
     Scale shape: the cluster-label table is |members of dup clusters|
-    (≪ corpus size on real web data), and the corpus is filtered with
-    ONE left-anti hash join against the non-survivor ids — the
-    10^12-row side is never collected, sorted, or re-keyed.
+    (≪ corpus size on real web data); the ``keep_by`` form adds one
+    equi-join of that small table against the corpus (Catalyst/AQE
+    broadcasts the label side) and a per-cluster window over bounded
+    cluster sizes — and either way the corpus is filtered with ONE
+    left-anti hash join against the non-survivor ids: the 10^12-row
+    side is never collected, sorted, or re-keyed.
     """
     labels = dedup_clusters(pairs)
-    losers = labels.where(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias(id_col)
-    )
+    if keep_by is None:
+        losers = labels.where(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        from pyspark.sql.window import Window
+
+        members = docs.join(
+            labels, docs[id_col] == labels["id"]
+        ).select(
+            labels["id"].alias("_m_id"),
+            "cluster_id",
+            F.col(keep_by).alias("_m_key"),
+        )
+        order = [
+            F.desc("_m_key") if descending else F.asc("_m_key"),
+            F.asc("_m_id"),
+        ]
+        losers = (
+            members.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("cluster_id").orderBy(*order)
+                ),
+            )
+            .where(F.col("_rn") > 1)
+            .select(F.col("_m_id").alias(id_col))
+        )
     return docs.join(losers, id_col, "left_anti")
 
 

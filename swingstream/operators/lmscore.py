@@ -71,6 +71,12 @@ def unigram_lm(
     the tail's mass into OOV by simply dropping the rows: the smoothing
     denominator uses the CAPPED vocab + capped total so probabilities
     still sum to ≤1.
+
+    Scale note: the deterministic cap ranks the vocab with a global
+    row_number — a single-partition window over |vocab| rows, fine to
+    ~10^7 distinct tokens.  At web-scale vocab (~10^8+) swap the rank
+    for a count threshold (``cnt >= approx Vth largest``, one
+    approx-quantile pass) — approximate at the boundary, no global sort.
     """
     counts = (
         ref_docs.select(F.explode(_tokens(F.col(text_col))).alias("token"))

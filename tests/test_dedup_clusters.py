@@ -182,3 +182,51 @@ def _tight_guard_floor(monkeypatch):
 
     monkeypatch.setattr(dd, "candidate_bound_check", patched)
     yield
+
+
+def test_dedup_survivors_keep_by_quality(spark):
+    """RefinedWeb-style survivor policy: each cluster keeps its BEST
+    member by keep_by (ties -> min id); default stays min-id."""
+    from pyspark.sql import functions as F
+
+    from swingstream.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [
+            # cluster {1,2,3}: doc 3 has the best score
+            (1, 0.2), (2, 0.5), (3, 0.9),
+            # cluster {10,11}: tied scores -> min id 10 survives
+            (10, 0.7), (11, 0.7),
+            # unpaired doc always survives, score irrelevant
+            (20, 0.0),
+        ],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    best = sorted(
+        r.doc_id
+        for r in dedup_survivors(docs, pairs, keep_by="quality").collect()
+    )
+    assert best == [3, 10, 20]
+    # ascending keeps the LOWEST score
+    worst = sorted(
+        r.doc_id
+        for r in dedup_survivors(
+            docs, pairs, keep_by="quality", descending=False
+        ).collect()
+    )
+    assert worst == [1, 10, 20]
+    # default min-id policy unchanged
+    first = sorted(
+        r.doc_id for r in dedup_survivors(docs, pairs).collect()
+    )
+    assert first == [1, 10, 20]
+    # survivors keep their full row (left-anti preserves columns)
+    row = (
+        dedup_survivors(docs, pairs, keep_by="quality")
+        .where(F.col("doc_id") == 3)
+        .collect()[0]
+    )
+    assert row.quality == 0.9
