@@ -188,6 +188,13 @@ def compact_dedup(
     otherwise — an append landing between crash and retry would
     otherwise be marked replaced without its rows existing in the
     adopted files (silent row loss; r4 advice).
+
+    Survivor rule: PINNED to min-id (every stream==batch parity test
+    keys on it).  The quality-aware best-member policy
+    (``dedup_survivors(keep_by=...)``) is a batch-side selection; if a
+    corpus needs it at compaction time, run it as a one-shot batch
+    rewrite rather than changing this op's keep rule under existing
+    ledgers.
     """
     if scope not in ("active", "full-history"):
         raise ValueError(
