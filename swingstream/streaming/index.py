@@ -37,12 +37,19 @@ Scale shape (the design constraint is a 10^12-row index):
 * **Bounded file count** — every commit adds ≤ touched-buckets files;
   ``compact`` rewrites the whole index to one file per bucket under a
   REPLACE manifest (same maintenance loop as ``compact_small_files``).
-* **MinHash storage** — each admitted doc stores ``bands`` rows of
-  (id, band_idx, band_hash, sig); the signature rides on every band row
-  so the probe's verify step needs no second join.  At 10^10+ docs,
-  split sig storage into an id-bucketed side table (one extra bounded
-  probe) to cut the ×bands signature duplication — seam documented at
-  ``MinHashIndex._route``.
+* **MinHash storage** — split in two stores under one root: a BAND
+  store of (id, band_idx, band_hash) rows bucketed by band_hash (the
+  probe's collision side) and an id-bucketed SIG side table storing
+  each admitted document's signature ONCE (duplicating the 32-long sig
+  onto every band row would multiply index bytes ×bands — at 10^12
+  docs that is the difference between ~0.3 PB and ~2 PB).  A probe is
+  then two pruned reads: band buckets touched by the batch propose
+  candidate pairs, and only the sig buckets of the CANDIDATE ids are
+  read for the agreement verify — candidate sets are tiny, so the
+  verify read is too.  Commit order inside one batch_id: SIGS first,
+  bands second — a band row whose sig is missing would silently null
+  out of the verify join (near-dups admitted); a sig without band rows
+  is merely unreachable until the band commit lands on replay.
 
 Exactly-once protocol (with a corpus ``IcebergLiteTable``): the sink
 commits the CORPUS first, the indexes second, all under the same
@@ -330,9 +337,27 @@ class DigestIndex(_BucketedIndex):
         )
 
 
+class _MinHashSigStore(_BucketedIndex):
+    """Id-bucketed signature side table: each admitted doc's signature
+    exactly once (the band store carries only collision keys — module
+    docstring, MinHash storage)."""
+
+    SCHEMA = "id string, sig array<bigint>"
+
+    def _route(self, rows: DataFrame) -> DataFrame:
+        return (
+            rows.select("id", "sig")
+            .dropDuplicates(["id"])
+            .withColumn("bucket", digest_bucket(F.col("id"), self.n_buckets))
+        )
+
+
 class MinHashIndex(_BucketedIndex):
     """Near-dup admission index: banded MinHash signatures of every
     admitted document, probed with a partition-pruned band equi-join.
+    This class IS the band store (root-level ledger — (id, band_idx,
+    band_hash) bucketed by band_hash); signatures live once per doc in
+    the ``sigs`` side store under ``root/sigs`` (module docstring).
 
     A new document is rejected when its signature AGREEMENT with any
     indexed document sharing a band key is ≥ ``threshold`` (the
@@ -353,7 +378,7 @@ class MinHashIndex(_BucketedIndex):
     compaction remains the exactness backstop.
     """
 
-    SCHEMA = "id string, band_idx int, band_hash long, sig array<bigint>"
+    SCHEMA = "id string, band_idx int, band_hash long"
 
     def __init__(
         self,
@@ -377,18 +402,55 @@ class MinHashIndex(_BucketedIndex):
         self.bands = int(bands)
         self.shingle_n = int(shingle_n)
         self.threshold = float(threshold)
+        self.sigs = _MinHashSigStore(os.path.join(root, "sigs"), n_buckets)
 
-    # content → banded rows.  At 10^10+ docs, replace the sig-on-every-
-    # band-row duplication with an id-bucketed sig side table and a
-    # second bounded probe (module docstring) — the ledger machinery is
-    # already table-agnostic.
+    # band rows only — the signature is stripped here and stored once
+    # per doc in the sig side table (module docstring, MinHash storage)
     def _route(self, rows: DataFrame) -> DataFrame:
-        return rows.select("id", "band_idx", "band_hash", "sig").dropDuplicates(
+        return rows.select("id", "band_idx", "band_hash").dropDuplicates(
             ["id", "band_idx"]
         ).withColumn(
             "bucket",
             F.pmod(F.col("band_hash"), F.lit(self.n_buckets)).cast("int"),
         )
+
+    def commit(
+        self,
+        batch_id: int | str,
+        rows: DataFrame,
+        *,
+        operation: str = "append",
+        replaces: list | None = None,
+    ) -> dict | None:
+        """Two-store commit under one batch_id: SIGS FIRST, bands
+        second (a band row with a missing sig would null out of the
+        verify join and silently admit near-dups; a sig without band
+        rows is unreachable until the band commit lands on replay).
+        The BAND manifest is the batch's commit point — ``committed``
+        / replay no-ops key on it, and a crash between the two store
+        writes replays into a sig no-op + the missing band commit.
+        Rows without a ``sig`` column (the base ``compact`` re-commits
+        band rows it read back under ``self.SCHEMA``) touch only the
+        band store — the sig store compacts under its own id."""
+        if self.committed(batch_id):
+            return None
+        rows = rows.persist()
+        try:
+            if "sig" in rows.columns:
+                self.sigs.commit(
+                    batch_id, rows, operation=operation, replaces=replaces
+                )
+            return super().commit(
+                batch_id, rows, operation=operation, replaces=replaces
+            )
+        finally:
+            rows.unpersist()
+
+    def compact(self, spark: SparkSession, compaction_id: str) -> dict | None:
+        """Bin-pack both stores; each ledger replay-no-ops on its own
+        compaction id."""
+        self.sigs.compact(spark, f"{compaction_id}-sigs")
+        return super().compact(spark, compaction_id)
 
     def band_rows(
         self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -417,10 +479,13 @@ class MinHashIndex(_BucketedIndex):
 
     def probe_rejects(self, bands_batch: DataFrame) -> DataFrame:
         """Distinct batch ids whose signature agrees ≥ threshold with
-        any indexed doc sharing a band key.  One bounded collect (the
-        batch's distinct band buckets), one band equi-join over the
-        pruned index subset, one zip_with agreement estimate — all
-        JVM-side."""
+        any indexed doc sharing a band key.  Two pruned reads, all
+        JVM-side: (1) band buckets touched by the batch propose
+        candidate (id, idx_id) pairs via one equi-join; (2) only the
+        sig buckets of the CANDIDATE idx_ids are read for the zip_with
+        agreement verify.  Two bounded collects drive the pruning —
+        the batch's distinct band buckets and the candidates' distinct
+        sig buckets, each ≤ n_buckets ints."""
         spark = bands_batch.sparkSession
         bucket_rows = (
             bands_batch.select(
@@ -445,17 +510,39 @@ class MinHashIndex(_BucketedIndex):
                 F.col("n.id").alias("id"),
                 F.col("k.id").alias("idx_id"),
                 F.col("n.sig").alias("sig"),
-                F.col("k.sig").alias("idx_sig"),
             )
             .dropDuplicates(["id", "idx_id"])
         )
+        # cand stays LAZY: the sig-bucket collect below evaluates it
+        # once and the caller's anti-joins recompute it — both sides of
+        # the band join are pruned micro-batch-sized inputs, and
+        # measured at bench scale the recompute beats an eager
+        # localCheckpoint write per micro-batch
+        sig_buckets = (
+            cand.select(
+                digest_bucket(F.col("idx_id"), self.n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        idx_sigs = self.sigs._read(
+            spark,
+            self.sigs.files_for_buckets([r["b"] for r in sig_buckets]),
+        ).select(
+            F.col("id").alias("idx_id"), F.col("sig").alias("idx_sig")
+        )
         agree = F.aggregate(
-            F.zip_with("sig", "idx_sig", lambda x, y: (x == y).cast("double")),
+            F.zip_with(
+                "sig", "idx_sig", lambda x, y: (x == y).cast("double")
+            ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         ) / F.size("sig")
         return (
-            cand.where(agree >= F.lit(self.threshold)).select("id").distinct()
+            cand.join(idx_sigs, "idx_id")
+            .where(agree >= F.lit(self.threshold))
+            .select("id")
+            .distinct()
         )
 
     def filter_new(

@@ -312,5 +312,67 @@ def test_periodic_index_binpack_covers_both_indexes(spark, tmp_path):
         binpack = [m for m in active if m.get("operation") == "binpack"][0]
         assert len(binpack["files"]) <= idx.n_buckets
     # membership preserved through the rewrite: total band rows = every
-    # admitted doc x bands
+    # admitted doc x bands; the sig side table compacted too (own id)
     assert midx.total_rows() == 8 * midx.bands
+    assert midx.sigs.total_rows() == 8
+    sig_ops = [m.get("operation") for m in midx.sigs.manifests()]
+    assert "binpack" in sig_ops
+
+
+def test_sig_side_table_stores_each_doc_once(spark, tmp_path):
+    """Two-store layout: the band store carries NO signature column
+    (schema-pinned) and the sig side table holds exactly one row per
+    admitted doc — committing b batches of n docs costs n sigs, not
+    n×bands."""
+    idx = MinHashIndex(str(tmp_path / "idx"), n_buckets=16)
+    pdf = _neardup_docs_pdf()
+    idx.commit(0, idx.band_rows(spark.createDataFrame(pdf[pdf.doc_id.isin([1, 2])])))
+    idx.commit(1, idx.band_rows(spark.createDataFrame(pdf[pdf.doc_id.isin([100])])))
+    assert idx.total_rows() == 3 * idx.bands          # band rows ×bands
+    assert idx.sigs.total_rows() == 3                 # sigs ONCE per doc
+    assert "sig" not in idx.SCHEMA and "sig" in idx.sigs.SCHEMA
+    # replay no-op covers BOTH stores
+    assert idx.commit(0, idx.band_rows(
+        spark.createDataFrame(pdf[pdf.doc_id.isin([1, 2])]))) is None
+    assert idx.sigs.total_rows() == 3
+
+
+def test_crash_between_sig_and_band_commit_heals(spark, tmp_path, monkeypatch):
+    """The commit point is the BAND manifest: a crash after the sig
+    store committed but before the band store did replays into a sig
+    no-op + the missing band commit — nothing doubled, probes work."""
+    from swingstream.streaming.index import _BucketedIndex
+
+    idx = MinHashIndex(str(tmp_path / "idx"), n_buckets=16, threshold=0.75)
+    pdf = _neardup_docs_pdf()
+    b0 = spark.createDataFrame(pdf[pdf.doc_id.isin([1, 2])])
+
+    orig = _BucketedIndex.commit
+    state = {"armed": True}
+
+    def boom(self, batch_id, rows, **kw):
+        # fire on the BAND-store commit only (self is the MinHashIndex,
+        # not the sig store), first time through
+        if state["armed"] and isinstance(self, MinHashIndex):
+            state["armed"] = False
+            raise RuntimeError("injected crash between sig and band commit")
+        return orig(self, batch_id, rows, **kw)
+
+    monkeypatch.setattr(_BucketedIndex, "commit", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.commit(0, idx.band_rows(b0))
+    assert idx.sigs.committed(0) and not idx.committed(0)
+
+    # replay: sig commit no-ops, band commit lands
+    m = idx.commit(0, idx.band_rows(b0))
+    assert m is not None
+    assert idx.total_rows() == 2 * idx.bands
+    assert idx.sigs.total_rows() == 2
+    # and the healed index rejects a near-dup rewrite of doc 1
+    surv, _, ab = idx.filter_new(
+        spark.createDataFrame(pdf[pdf.doc_id.isin([11])]), id_col="doc_id"
+    )
+    try:
+        assert surv.count() == 0
+    finally:
+        ab.unpersist()
