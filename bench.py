@@ -281,8 +281,11 @@ def _ingest_stream_dir() -> tuple[str, int]:
     from swingstream.fixtures import gen_documents
 
     n, n_batches = 5000, 8
+    # v2 in the cache key = the generation recipe version: a stale dir
+    # written by a DIFFERENT recipe under the same name would silently
+    # change what the sidecar measures (bump on any fixture change)
     root = os.path.join(tempfile.gettempdir(),
-                        f"swingstream-ingest-{n_batches}x{n // 1000}k")
+                        f"swingstream-ingest-v2-{n_batches}x{n // 1000}k")
     meta = root + ".meta.json"
     if os.path.exists(meta):
         with open(meta) as fh:
