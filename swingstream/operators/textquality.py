@@ -232,24 +232,25 @@ def quality_gate(
     docs: DataFrame,
     *,
     mask_pii: bool = True,
+    mask_patterns: list[tuple[str, str]] | None = None,
     text_col: str = "text",
     **annotate_kw,
 ) -> DataFrame:
     """Corpus admission gate: drop documents failing the
     ``quality_annotate`` thresholds and mask PII in the survivors' text.
-    All other columns pass through unchanged."""
+    All other columns pass through unchanged.
+
+    ``mask_patterns`` overrides the masked (pattern, placeholder) chain;
+    the default stays the legacy email/phone pair (golden-pinned).  Pass
+    e.g. ``[(p, ph) for _, p, ph in pii.PII_PATTERNS]`` to mask the full
+    canonical set (adds IPv4) at the gate."""
     from swingstream.operators.pii import redact
 
     ann = quality_annotate(docs, text_col=text_col, **annotate_kw)
     out = ann.where(F.col("reject_reason").isNull()).drop("reject_reason")
     if mask_pii:
-        out = out.withColumn(
-            text_col,
-            redact(
-                F.col(text_col),
-                [(EMAIL_RE, "<EMAIL>"), (PHONE_RE, "<PHONE>")],
-            ),
-        )
+        reps = mask_patterns or [(EMAIL_RE, "<EMAIL>"), (PHONE_RE, "<PHONE>")]
+        out = out.withColumn(text_col, redact(F.col(text_col), reps))
     return out
 
 

@@ -331,3 +331,33 @@ def test_url_gate_plan_is_jvm_only_with_broadcast_blocklist(spark):
     assert "Python" not in plan and "ArrowEval" not in plan
     assert has_broadcast_join(gated)
     assert gated.count() == 49
+
+
+def test_quality_gate_mask_patterns_extends_to_canonical_set(spark):
+    """mask_patterns lets the gate mask the full canonical PII set
+    (adds IPv4) while the default stays the golden-pinned email/phone
+    pair."""
+    import pandas as pd
+
+    from swingstream.operators.pii import PII_PATTERNS
+    from swingstream.operators.textquality import quality_gate
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": [
+                "a perfectly ordinary document about mail a@b.io and "
+                "server 10.0.0.1 with plenty of normal words to pass "
+                "every quality threshold in the annotate stage today"
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    legacy = quality_gate(df).collect()[0].text
+    assert "|||EMAIL|||" not in legacy and "<EMAIL>" in legacy
+    assert "10.0.0.1" in legacy  # legacy pair does not mask IPs
+    full = quality_gate(
+        df, mask_patterns=[(p, ph) for _, p, ph in PII_PATTERNS]
+    ).collect()[0].text
+    assert "|||EMAIL|||" in full and "|||IP|||" in full
+    assert "10.0.0.1" not in full
