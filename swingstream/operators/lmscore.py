@@ -124,18 +124,32 @@ def lm_score(
 ) -> DataFrame:
     """Per-document LM score: (id, n_tokens, nll_micro_sum,
     avg_nll_micro) — all BIGINT, lower avg = more like the reference.
-    Empty docs score NULL (no tokens to average)."""
+    Empty docs score NULL (no tokens to average).
+
+    Raises on a token-free reference (an over-aggressive slice filter
+    would otherwise silently score the whole corpus NULL).  The 1-row
+    consts collect that powers the check also embeds the OOV cost as a
+    literal — one fewer broadcast subtree re-evaluating the reference
+    counts."""
     model, consts = unigram_lm(ref_docs, text_col=text_col, max_vocab=max_vocab)
+    c = consts.collect()[0]
+    if not c.total:
+        raise ValueError(
+            "lm_score: the reference slice contains no tokens — every "
+            "corpus doc would silently score NULL; fix the reference "
+            "filter (or the text column) instead"
+        )
     toks = docs.select(
         F.col(id_col).alias("_lm_id"),
         F.explode(_tokens(F.col(text_col))).alias("token"),
     )
     scored = (
         toks.join(F.broadcast(model), "token", "left")
-        .crossJoin(F.broadcast(consts.select("oov_nll_micro")))
         .select(
             "_lm_id",
-            F.coalesce("nll_micro", "oov_nll_micro").alias("tok_nll"),
+            F.coalesce(
+                "nll_micro", F.lit(int(c.oov_nll_micro)).cast("long")
+            ).alias("tok_nll"),
         )
         .groupBy("_lm_id")
         .agg(

@@ -140,3 +140,11 @@ def test_plan_jvm_only_and_broadcast_model(corpus, ref):
         .toString()
     )
     assert "Window" not in plan2
+
+
+def test_empty_reference_raises(spark, corpus):
+    # an over-aggressive reference filter must fail loudly, not score
+    # the whole corpus NULL
+    empty_ref = corpus.where("doc_id < 0")
+    with pytest.raises(ValueError, match="no tokens"):
+        lm_score(corpus, empty_ref)
