@@ -38,6 +38,34 @@ def _prep(spark: SparkSession) -> None:
         "spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     )
+    # r8 (guide §6): the driver tables are single parquet files with 1-6
+    # row groups; the default 128m split puts a whole CPU-heavy scan in
+    # 1-2 tasks.  16m keeps each row group in its own task (row groups
+    # cap parallelism, so smaller buys nothing).  Same env knob as
+    # session.py for production many-file corpora.
+    import os as _os
+
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        _os.environ.get("SWINGSTREAM_MAX_PARTITION_BYTES", "16m"),
+    )
+
+
+def _fan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a fixture scan across the session's cores before per-row
+    heavy work (r8, guide §2.5 input skew).
+
+    The driver tables are ONE small parquet file with ONE row group —
+    one scan task — so string/regex/array work over them would run
+    single-threaded no matter the core budget (measured: q_docs_quality
+    4.7s -> 1.3s, q_docs_langid 3.1s -> 0.85s at sf1.0/local[32]).  The
+    round-robin exchange moves only the (small) fixture bytes once; a
+    production corpus arrives as many files/row groups and its reader
+    would skip this (same fixture-artifact reasoning as bench.py's
+    repartition(64) on the 5k docs corpus).  Result-invariant: every
+    fanned query computes per-row values (or exact aggregates) and ends
+    in a total-order sort."""
+    return df.repartition(spark.sparkContext.defaultParallelism * 2)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1061,7 +1089,7 @@ SELECT * FROM (
 
 def q_json_props(spark, sf):
     _prep(spark)
-    e = _t(spark, sf, "events")
+    e = _fan(spark, _t(spark, sf, "events"))  # r8: JSON parse off 1 scan task
     return (
         e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
         .groupBy((F.col("k") % 10).alias("k_mod"))
@@ -1086,7 +1114,7 @@ FROM events GROUP BY 1 ORDER BY k_mod
 
 def q_docs_stats(spark, sf):
     _prep(spark)
-    d = _t(spark, sf, "documents")
+    d = _fan(spark, _t(spark, sf, "documents"))  # r8: tokenization off 1 scan task
     return (
         d.groupBy("lang")
         .agg(
@@ -1113,7 +1141,7 @@ FROM documents GROUP BY lang ORDER BY lang
 
 def q_docs_quality(spark, sf):
     _prep(spark)
-    d = _t(spark, sf, "documents")
+    d = _fan(spark, _t(spark, sf, "documents"))  # r8: 4.7s -> 1.3s at sf1.0
     return (
         d.select("doc_id", _fr6(T.quality_score(F.col("text"))).alias("quality"))
         .orderBy("doc_id")
@@ -1143,7 +1171,7 @@ ORDER BY doc_id
 
 def q_docs_langid(spark, sf):
     _prep(spark)
-    d = _t(spark, sf, "documents")
+    d = _fan(spark, _t(spark, sf, "documents"))  # r8: 3.1s -> 0.85s at sf1.0
     return (
         d.withColumn("pred_lang", T.lang_id(F.col("text")))
         .groupBy("lang", "pred_lang")
@@ -1181,7 +1209,7 @@ def q_docs_text_profile(spark, sf):
     result; the standalone fns stay defined for the frozen bench
     headline).  Slot freed for the oracle-backed q_docs_quality_clf."""
     _prep(spark)
-    d = _t(spark, sf, "documents")
+    d = _fan(spark, _t(spark, sf, "documents"))  # r8: same fan as the twins
     return d.select(
         "doc_id",
         "lang",
@@ -1839,7 +1867,7 @@ def q_emb_topk(spark, sf):
     _prep(spark)
     from swingstream.operators.similarity import brute_force_topk
 
-    v = _t(spark, sf, "embeddings")
+    v = _fan(spark, _t(spark, sf, "embeddings"))  # r8: cosine off 1 scan task
     return brute_force_topk(v, _EMB_QUERY_IDS, k=5)
 
 
@@ -1866,7 +1894,7 @@ def q_emb_neardup(spark, sf):
     _prep(spark)
     from swingstream.operators.similarity import neardup_pairs_cosine
 
-    v = _t(spark, sf, "embeddings")
+    v = _fan(spark, _t(spark, sf, "embeddings"))  # r8: pair scan off 1 task
     return neardup_pairs_cosine(v, threshold=0.3)
 
 
@@ -1901,7 +1929,7 @@ def q_emb_cosine(spark, sf):
         neardup_pairs_cosine,
     )
 
-    v = _t(spark, sf, "embeddings")
+    v = _fan(spark, _t(spark, sf, "embeddings"))  # r8: same fan as the twins
     topk = brute_force_topk(v, _EMB_QUERY_IDS, k=5).select(
         F.lit("topk").alias("mode"),
         F.col("query_id").cast("long").alias("id_a"),

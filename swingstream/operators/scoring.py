@@ -130,10 +130,16 @@ def score_design(
             lasso_fista_multi(X, Y, p.alpha, max_iter=p.solver_max_iter)
         )  # (p, G)
 
+    # r8: the blake2b seed feeds only the non-multi fit path and the
+    # permutation/bootstrap resamplers — on the hot fixed-alpha path it
+    # was pure per-target overhead (one digest per (window, target):
+    # ~450k calls per bench stream run).  Compute it only when consumed;
+    # the value is unchanged where it is consumed.
+    needs_seed = multi_imp is None or p.n_permutations > 0 or p.n_bootstraps > 0
     imp_rows, z_rows, p_rows, s_rows, child_rows, masks = [], [], [], [], [], []
     for j in range(G):
         y = Y[:, j]
-        seed = _seed(group_key, win_start, j)
+        seed = _seed(group_key, win_start, j) if needs_seed else 0
         if multi_imp is not None:
             imp = multi_imp[:, j]
         elif y.std() == 0.0:

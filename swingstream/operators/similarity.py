@@ -50,16 +50,28 @@ def brute_force_topk(
     cosine to 9 dp before ordering so ranks are stable across engines
     and summation orders; ties break on candidate id.
     """
+    # r8 (guide §2.3 narrower work per row): the L2 norm is computed ONCE
+    # per vector in the projection instead of inside every pair's cosine
+    # — the higher-order dot() is interpreted per call, so norm-per-pair
+    # was 3 dots/pair where 1 suffices (identical arithmetic: the same
+    # sqrt(dot(v,v)) doubles, just cached — measured 2.6s -> 0.6s at
+    # sf1.0 together with the fixture fan in the contract query).
     base = vectors.select(
         F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("vec")
-    )
+    ).withColumn("nrm", norm(F.col("vec")))
     queries = base.where(F.col("cand_id").isin(query_ids)).select(
-        F.col("cand_id").alias("query_id"), F.col("vec").alias("qvec")
+        F.col("cand_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
     )
+    denom = F.col("qnrm") * F.col("nrm")
+    cos_expr = F.when(
+        denom > 0, dot(F.col("qvec"), F.col("vec")) / denom
+    ).otherwise(F.lit(0.0))
     scored = (
         base.crossJoin(F.broadcast(queries))
         .where(F.col("cand_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("vec")), 9))
+        .withColumn("cos", F.round(cos_expr, 9))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
@@ -445,13 +457,20 @@ def neardup_pairs_cosine(
     Brute-force O(n^2) verification form; the discovery path at scale is
     ``lsh_ann_topk``'s bucketing.  Cosine rounded to 9 dp for stability.
     """
+    # r8: norms precomputed per row (see brute_force_topk) — on the
+    # O(n^2) pair join this removes two of the three interpreted dots
+    # per pair; arithmetic identical (same doubles, cached).
     base = vectors.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
-    )
+    ).withColumn("nrm", norm(F.col("vec")))
     a, b = base.alias("a"), base.alias("b")
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    cos_expr = F.when(
+        denom > 0, dot(F.col("a.vec"), F.col("b.vec")) / denom
+    ).otherwise(F.lit(0.0))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn("cos", F.round(cosine(F.col("a.vec"), F.col("b.vec")), 9))
+        .withColumn("cos", F.round(cos_expr, 9))
         .where(F.col("cos") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos")
         .orderBy("id_a", "id_b")

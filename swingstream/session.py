@@ -82,6 +82,32 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SWINGSTREAM_DRIVER_MEM", "8g"))
+        # Scan split size (r8, guide §6): the fixture tables are single
+        # parquet files whose row groups cap scan parallelism; 16m keeps
+        # every row group in its own task so CPU-heavy scans use the
+        # whole core budget (q05 2.4x, q01 1.3x at sf1.0).  Production
+        # corpora of many 128MB+ files want the guide's 512m-1g —
+        # override via env; a too-small value there only costs empty
+        # scheduler splits (tasks whose byte range holds no row-group
+        # midpoint), never correctness.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SWINGSTREAM_MAX_PARTITION_BYTES", "16m"),
+        )
+        # r8: Spark 4.1 turned on checkpoint-file checksums by default
+        # (spark.sql.streaming.checkpoint.fileChecksum.enabled).  Each
+        # state-store commit then writes a .crc sidecar per changelog
+        # file through a per-file checksum thread — measured ~2x on the
+        # RocksDB changelog fileSync latency (20s -> 10s summed per
+        # operator per micro-batch at 64 state partitions) because this
+        # sandbox's Hadoop has no native lib and every extra file create
+        # forks a chmod shell.  Default off = the pre-4.1 contract the
+        # engine was tuned under; re-enable via env where end-to-end
+        # checkpoint integrity checking is worth the commit latency.
+        .config(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+            os.environ.get("SWINGSTREAM_CHECKPOINT_FILE_CHECKSUM", "false"),
+        )
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
