@@ -39,24 +39,53 @@ class IcebergLiteTable:
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.manifest_dir = os.path.join(root, "manifests")
+        self.archive_dir = os.path.join(self.manifest_dir, "archive")
         self.tmp_dir = os.path.join(root, "_tmp")
         for d in (self.data_dir, self.manifest_dir, self.tmp_dir):
             os.makedirs(d, exist_ok=True)
+        # r8 (round-7 VERDICT #1): parsed-manifest cache keyed by file
+        # name — manifests are immutable once published (atomic
+        # os.replace, never edited), so each ledger read re-lists the
+        # directory (cheap dirents) and json-parses only names it has
+        # not seen, instead of re-opening every manifest ever written.
+        # A second writer instance stays visible through the listing.
+        self._manifest_cache: dict[str, dict] = {}
 
     # -- ledger ----------------------------------------------------------
     def _manifest_path(self, batch_id: int | str) -> str:
         return os.path.join(self.manifest_dir, f"manifest-{batch_id}.json")
 
     def committed(self, batch_id: int | str) -> bool:
-        return os.path.exists(self._manifest_path(batch_id))
+        # archive/ counts: a replayed batch_id must remain a no-op after
+        # a REPLACE snapshot moved its manifest to the archive subdir
+        return os.path.exists(self._manifest_path(batch_id)) or os.path.exists(
+            os.path.join(self.archive_dir, f"manifest-{batch_id}.json")
+        )
+
+    def _parse_dir(self, d: str) -> list[dict]:
+        if not os.path.isdir(d):
+            return []
+        out = []
+        prefix = "" if d == self.manifest_dir else "archive/"
+        for f in sorted(os.listdir(d)):
+            if f.startswith("manifest-") and f.endswith(".json"):
+                key = prefix + f
+                m = self._manifest_cache.get(key)
+                if m is None:
+                    with open(os.path.join(d, f)) as fh:
+                        m = json.load(fh)
+                    self._manifest_cache[key] = m
+                out.append(m)
+        return out
 
     def manifests(self) -> list[dict]:
-        out = []
-        for f in sorted(os.listdir(self.manifest_dir)):
-            if f.startswith("manifest-") and f.endswith(".json"):
-                with open(os.path.join(self.manifest_dir, f)) as fh:
-                    out.append(json.load(fh))
-        return out
+        """FULL commit history — replaced manifests included, whether
+        still in manifests/ or moved to manifests/archive/ by a later
+        REPLACE snapshot (read_commit / read_history / append_manifests
+        all need the complete ledger)."""
+        return self._parse_dir(self.manifest_dir) + self._parse_dir(
+            self.archive_dir
+        )
 
     def active_manifests(self) -> list[dict]:
         """Manifests still visible to readers: a compaction commit lists
@@ -64,12 +93,30 @@ class IcebergLiteTable:
         miniature); replaced manifests stay on disk as history/lineage but
         no longer contribute data files.  A later compaction supersedes an
         earlier one the same way (its ``replaces`` includes the earlier
-        compaction's id)."""
-        all_m = self.manifests()
+        compaction's id).  r8: scans only the live manifest dir —
+        O(active) — because REPLACE commits move their victims to
+        archive/; the replaced-set filter still covers the crash window
+        where a REPLACE manifest landed but archival didn't finish."""
+        all_m = self._parse_dir(self.manifest_dir)
         replaced: set[str] = set()
         for m in all_m:
             replaced.update(str(b) for b in m.get("replaces", []))
         return [m for m in all_m if str(m["batch_id"]) not in replaced]
+
+    def _archive_replaced(self, replaces: list) -> None:
+        """Move superseded manifests under archive/ (atomic same-fs
+        renames) so active_manifests() stays O(active).  A crash
+        mid-loop leaves some victims in place — still hidden by the
+        replaced-set filter, moved on the next REPLACE replay."""
+        os.makedirs(self.archive_dir, exist_ok=True)
+        for b in replaces:
+            name = f"manifest-{b}.json"
+            src = os.path.join(self.manifest_dir, name)
+            if os.path.exists(src):
+                os.replace(src, os.path.join(self.archive_dir, name))
+                m = self._manifest_cache.pop(name, None)
+                if m is not None:
+                    self._manifest_cache["archive/" + name] = m
 
     def data_files(self) -> list[str]:
         files: list[str] = []
@@ -272,6 +319,16 @@ class IcebergLiteTable:
         with open(tmp_manifest, "w") as fh:
             json.dump(manifest, fh, indent=1, default=str)
         os.replace(tmp_manifest, self._manifest_path(batch_id))  # atomic commit
+        # cache the PARSED form (json round-trip, so cached and re-read
+        # manifests are indistinguishable — default=str stringifies
+        # non-JSON values like timestamps in metrics)
+        self._manifest_cache[f"manifest-{batch_id}.json"] = json.loads(
+            json.dumps(manifest, default=str)
+        )
+        if replaces:
+            # visibility flipped on the manifest write above; archival is
+            # read-path maintenance only (r8, round-7 VERDICT #1)
+            self._archive_replaced(replaces)
         return manifest
 
     # -- read ------------------------------------------------------------

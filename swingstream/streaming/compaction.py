@@ -722,11 +722,14 @@ def run_corpus_stream_with_compaction(
             finally:
                 committed.unpersist()
             return
+        from swingstream.streaming.index import digest_bucket
+
         from pyspark.sql.window import Window
 
         work = frame
         pinned: list[DataFrame] = []
         try:
+            n_work = None
             if index is not None:
                 digested = work.withColumn("_di_digest", dig_expr)
                 # within-batch survivor: min id_col per digest — the same
@@ -746,18 +749,38 @@ def run_corpus_stream_with_compaction(
                 # and downstream reads it again — pin it once
                 first.persist()
                 pinned.append(first)
-                n_first = first.count()
-                work = index.filter_new(first, "_di_digest").persist()
+                # r8 (round-7 VERDICT #2): ONE job yields both the
+                # admission count and the touched digest buckets — the
+                # probe's bucket collect and the separate count() were
+                # two driver round-trips over the same persisted frame
+                bucket_counts = (
+                    first.groupBy(
+                        digest_bucket(
+                            F.col("_di_digest"), index.n_buckets
+                        ).alias("b")
+                    )
+                    .count()
+                    .collect()
+                )
+                n_first = sum(r["count"] for r in bucket_counts)
+                work = index.filter_new(
+                    first, "_di_digest",
+                    buckets=[r["b"] for r in bucket_counts],
+                ).persist()
                 pinned.append(work)
+                n_work = work.count()
                 extra = {
                     **extra,
-                    "rows_rejected_index": n_first - work.count(),
+                    "rows_rejected_index": n_first - n_work,
                 }
             surv_bands = None
             if mh_index is not None:
                 work.persist()
                 pinned.append(work)
-                n_in_mh = work.count()
+                # r8: n_work already counted above when the digest index
+                # ran — the old second count() of the same persisted
+                # frame was a redundant job per micro-batch
+                n_in_mh = work.count() if n_work is None else n_work
                 work, surv_bands, all_bands = mh_index.filter_new(
                     work, id_col=id_col
                 )

@@ -219,3 +219,66 @@ def test_index_rejects_bucket_count_mismatch(tmp_path):
     DigestIndex(str(tmp_path / "idx"), n_buckets=16)
     with pytest.raises(ValueError, match="n_buckets"):
         DigestIndex(str(tmp_path / "idx"), n_buckets=32)
+
+
+def test_ledger_reads_o_active_not_o_history(spark, tmp_path, monkeypatch):
+    """r8 (round-7 VERDICT #1): probes/commits must not re-parse the
+    whole manifest history per call.  Pins (a) the per-instance parse
+    cache — after a 24-commit stream, a warm instance's probe parses 0
+    manifest JSONs; (b) binpack archival — superseded manifest files
+    move to archive/, so a FRESH instance's active-path read parses
+    O(active) files, while history (committed / manifests / total_rows)
+    stays intact."""
+    import swingstream.streaming.index as idx_mod
+
+    root = str(tmp_path / "idx")
+    idx = DigestIndex(root, n_buckets=8)
+    for b in range(24):
+        frame = spark.createDataFrame(
+            pd.DataFrame({"digest": [f"d-{b}-{i}" for i in range(10)]})
+        )
+        idx.commit(b, frame)
+
+    parses = {"n": 0}
+    real_load = idx_mod.json.load
+
+    def counting_load(fh):
+        parses["n"] += 1
+        return real_load(fh)
+
+    monkeypatch.setattr(idx_mod.json, "load", counting_load)
+
+    # warm instance: the whole history is already cached — two probe
+    # rounds parse NOTHING new
+    probe_batch = spark.createDataFrame(
+        pd.DataFrame({"digest": [f"d-3-{i}" for i in range(10)]})
+    )
+    idx.filter_new(probe_batch).count()
+    idx.filter_new(probe_batch).count()
+    assert parses["n"] == 0, f"warm probe re-parsed {parses['n']} manifests"
+
+    # binpack: 24 append manifests collapse to 1 active; the replaced 24
+    # move to archive/
+    import os
+
+    idx.compact(spark, "binpack-final")
+    live = [f for f in os.listdir(idx.manifest_dir) if f.endswith(".json")]
+    assert live == ["binpack-final.json"], live
+    archived = os.listdir(idx.archive_dir)
+    assert len(archived) == 24
+
+    # fresh instance: the hot probe path (active_manifests) parses only
+    # the ACTIVE ledger — 1 file, not 25
+    parses["n"] = 0
+    fresh = DigestIndex(root, n_buckets=8)
+    fresh.filter_new(probe_batch).count()
+    # 2 = index-meta.json (the __init__ param guard) + the ONE active
+    # manifest; the 24 archived appends are never opened on this path
+    assert parses["n"] <= 2, f"fresh probe parsed {parses['n']} files (want <=2)"
+
+    # history semantics survive archival
+    assert fresh.committed(5)  # archived append still counts committed
+    assert fresh.total_rows() == 240
+    assert len(fresh.manifests()) == 25  # full history incl. archive
+    # and a replayed old batch_id stays a no-op
+    assert fresh.commit(5, probe_batch) is None
