@@ -223,31 +223,48 @@ def minhash_lsh_pairs_from_sigs(
     ``candidate_guard=True`` runs candidate_bound_check eagerly on the
     banded keys first (default off here — the staged-oracle contract
     path wants pure laziness; the discovery wrapper minhash_lsh_pairs
-    defaults it ON)."""
-    banded = minhash_band_keys(sigs.select("id", "sig", "sh"), n_hashes, bands)
+    defaults it ON).
+
+    r8 (guide §8 / §2.3 — shuffle keys, not payloads): the banding
+    self-join matches on (band_idx, band_hash, id) ONLY.  The old form
+    carried every document's 32-long signature AND its full shingle-hash
+    set through the band explode — ×bands duplication of the heavy
+    arrays through the candidate exchange, exactly the byte multiplier
+    the MinHash index's band/sig storage split exists to avoid.  The
+    guarded candidate set is small (≤ factor·n), so the sig/sh payloads
+    are attached to the surviving (id_a, id_b) pairs afterwards with two
+    joins against the signature table; pair set, est_jaccard and jaccard
+    are bit-identical (same per-pair arithmetic over the same arrays)."""
+    banded = minhash_band_keys(sigs.select("id", "sig"), n_hashes, bands).select(
+        "id", "band_idx", "band_hash"
+    )
     if candidate_guard:
         candidate_bound_check(
             banded, ["band_idx", "band_hash"], sigs.count(), "minhash_lsh_pairs"
         )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    ids = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    pay_a = sigs.select(
+        F.col("id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    pay_b = sigs.select(
+        F.col("id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    cand = ids.join(pay_a, "id_a").join(pay_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     out = (
