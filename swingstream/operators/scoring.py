@@ -166,9 +166,19 @@ def score_design(
         child_rows.append(int(mask.sum()))
 
     n_total = sum(child_rows)
-    opt = lambda rows: np.concatenate(
-        [r if r is not None else np.full(n, np.nan) for r, n in zip(rows, child_rows)]
-    )
+
+    def opt(rows):
+        # r8: the hot fixed-alpha path has NO permutation/bootstrap
+        # columns — one nan-fill beats concatenating G per-target fills
+        # (identical values either way)
+        if all(r is None for r in rows):
+            return np.full(n_total, np.nan)
+        return np.concatenate(
+            [
+                r if r is not None else np.full(n, np.nan)
+                for r, n in zip(rows, child_rows)
+            ]
+        )
     out = {
         "group_key": np.full(n_total, group_key, dtype=object),
         "win_start": np.full(n_total, win_start, dtype=np.int64),
