@@ -217,14 +217,22 @@ def lm_perplexity_buckets(
         filled.crossJoin(F.broadcast(edges))
         .withColumn(
             "ppl_bucket",
-            (
+            # r8 (r7 ADVICE): NULL-scored docs get the tail bucket
+            # EXPLICITLY — when >= 1/n_buckets of docs are NULL-scored
+            # the top approx-percentile edge equals the 1<<62 sentinel
+            # and the strict > comparison would drop them out of the
+            # tail, contradicting the documented invariant.
+            F.when(
+                F.col("avg_nll_micro").isNull(),
+                F.lit(int(n_buckets)).cast("long"),
+            ).otherwise(
                 F.aggregate(
                     "edges",
                     F.lit(1).cast("long"),
                     lambda acc, e: acc
                     + (F.col("_lm_key") > e).cast("long"),
-                )
-            ).cast("long"),
+                ).cast("long")
+            ),
         )
         .drop("edges")
     )

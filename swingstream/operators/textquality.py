@@ -249,7 +249,13 @@ def quality_gate(
     ann = quality_annotate(docs, text_col=text_col, **annotate_kw)
     out = ann.where(F.col("reject_reason").isNull()).drop("reject_reason")
     if mask_pii:
-        reps = mask_patterns or [(EMAIL_RE, "<EMAIL>"), (PHONE_RE, "<PHONE>")]
+        # r8 (r7 ADVICE): test None, not truthiness — an explicit empty
+        # list means "mask nothing", not "fall back to the legacy chain"
+        reps = (
+            [(EMAIL_RE, "<EMAIL>"), (PHONE_RE, "<PHONE>")]
+            if mask_patterns is None
+            else mask_patterns
+        )
         out = out.withColumn(text_col, redact(F.col(text_col), reps))
     return out
 

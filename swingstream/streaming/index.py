@@ -470,6 +470,13 @@ class MinHashIndex(_BucketedIndex):
             n_hashes=int(n_hashes),
             bands=int(bands),
             shingle_n=int(shingle_n),
+            # r8 (r7 ADVICE): threshold is part of the index's admission
+            # semantics — reopening the same root with a different one
+            # would silently change history-wide near-dup rejection
+            # mid-stream, so it joins the persisted-meta mismatch guard.
+            # (Pre-r8 roots lack the key; the guard only compares keys
+            # present in the stored meta, so they reopen unchanged.)
+            threshold=float(threshold),
         )
         self.n_hashes = int(n_hashes)
         self.bands = int(bands)
