@@ -45,10 +45,11 @@ _MERSENNE31 = 2_147_483_647  # 2^31 - 1
 def candidate_bound_check(
     bucketed: DataFrame,
     bucket_cols: list[str],
-    n_rows: int,
+    n_rows: int | None,
     op: str,
     factor: float = 50.0,
     min_candidates: int = 10_000_000,
+    rows_per_input: int | None = None,
 ) -> None:
     """Fail loudly when LSH banding degenerates to a near-cartesian join.
 
@@ -61,14 +62,31 @@ def candidate_bound_check(
     max(min_candidates, factor·n): small corpora are allowed their
     harmless quadratic (500 degenerate docs → ~2M candidates — fine);
     at production n the factor·n term keeps candidates linear in input.
+
+    r8 (guide §5 — fewer driver round-trips): when the banding explodes
+    each input row into a FIXED ``rows_per_input`` rows (minhash: one
+    row per band; simhash: posexplode of the band array), n is exactly
+    Σ|bucket| / rows_per_input — pass ``n_rows=None`` with
+    ``rows_per_input=<bands>`` and the guard derives n inside the SAME
+    aggregate instead of the caller paying a separate ``count()`` job
+    (which was the job that materialized the persisted sig table; that
+    work now happens under this one job instead of two).
     """
-    bound = max(float(min_candidates), factor * float(n_rows))
-    total = (
+    agg = (
         bucketed.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).alias("s"))
-        .first()["s"]
+        .agg(
+            F.sum(F.col("c") * F.col("c")).alias("s"),
+            F.sum(F.col("c")).alias("t"),
+        )
+        .first()
     )
+    total = agg["s"]
+    if n_rows is None:
+        if rows_per_input is None:
+            raise ValueError(f"{op}: n_rows=None requires rows_per_input")
+        n_rows = 0 if agg["t"] is None else int(agg["t"]) // int(rows_per_input)
+    bound = max(float(min_candidates), factor * float(n_rows))
     if total is not None and float(total) > bound:
         raise RuntimeError(
             f"{op}: degenerate LSH banding — Σ|bucket|² = {total:,} candidate "
@@ -239,8 +257,13 @@ def minhash_lsh_pairs_from_sigs(
         "id", "band_idx", "band_hash"
     )
     if candidate_guard:
+        # r8: n derived inside the guard aggregate (banded = n×bands
+        # rows exactly — sig-table rows already exclude empty-shingle
+        # docs) — one driver job instead of count()+guard, and the sig
+        # table's persist materializes under it
         candidate_bound_check(
-            banded, ["band_idx", "band_hash"], sigs.count(), "minhash_lsh_pairs"
+            banded, ["band_idx", "band_hash"], None, "minhash_lsh_pairs",
+            rows_per_input=bands,
         )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -479,7 +502,12 @@ def simhash_pairs_from_sigs(
     )
     if candidate_guard:
         guard_cols = ["band_idx", "band_val"] + ([block_col] if blocked else [])
-        candidate_bound_check(d, guard_cols, sigs.count(), "simhash_neardup_pairs")
+        # r8: n = Σ|bucket| / bands in the guard's own aggregate (the
+        # posexplode emits exactly ``bands`` rows per fingerprint) —
+        # drops the separate count() job per discovery call
+        candidate_bound_check(
+            d, guard_cols, None, "simhash_neardup_pairs", rows_per_input=bands
+        )
     a, b = d.alias("a"), d.alias("b")
     cond = (
         (F.col("a.band_idx") == F.col("b.band_idx"))

@@ -177,8 +177,9 @@ def _tight_guard_floor(monkeypatch):
     orig = dd.candidate_bound_check
 
     def patched(bucketed, bucket_cols, n_rows, op, factor=50.0,
-                min_candidates=100_000):
-        return orig(bucketed, bucket_cols, n_rows, op, factor, min_candidates)
+                min_candidates=100_000, rows_per_input=None):
+        return orig(bucketed, bucket_cols, n_rows, op, factor, min_candidates,
+                    rows_per_input)
 
     monkeypatch.setattr(dd, "candidate_bound_check", patched)
     yield
